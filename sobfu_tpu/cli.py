@@ -1,0 +1,114 @@
+"""Command-line app: reconstruct a scene from a directory of depth frames.
+
+Parity with the reference demo binary (src/apps/demo.cpp:526-568):
+
+    python -m sobfu_tpu.cli <data dir> <params.ini> [--enable-viz]
+        [--enable-viz-detailed] [--enable-log] [--verbose] [--vverbose]
+        [--max-frames N] [--checkpoint PATH] [--resume PATH]
+
+  <data dir> contains depth/, color/, and optionally omask/ (masks applied
+  to depth, demo.cpp:314-330).
+  --enable-log writes per-frame meshes to <dir>/meshes as .vtk and the
+  deformation field to <dir>/fields as .vti.
+  --enable-viz* writes offscreen screenshots to <dir>/screenshots (the
+  reference used a PCL window; headless TPU hosts render via matplotlib).
+  --checkpoint/--resume are new (the reference had no checkpointing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from sobfu_tpu import io as sio
+from sobfu_tpu.config import load_params
+from sobfu_tpu.fields import displacement
+from sobfu_tpu.pipeline import SobFusion
+from sobfu_tpu.utils.timers import SampledScopeTime
+from sobfu_tpu.utils import checkpoint as ckpt
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="sobfu_tpu",
+        description="TPU-native SobolevFusion: non-rigid depth reconstruction",
+    )
+    ap.add_argument("data_dir", help="scene directory with depth/ and color/")
+    ap.add_argument("params", help="scene .ini (reference params/*.ini format)")
+    ap.add_argument("--enable-viz", action="store_true")
+    ap.add_argument("--enable-viz-detailed", action="store_true")
+    ap.add_argument("--enable-log", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--vverbose", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--checkpoint", default=None, help="write state here after each frame")
+    ap.add_argument("--resume", default=None, help="restore state before starting")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    verbosity = 2 if args.vverbose else (1 if args.verbose else 0)
+    params = load_params(args.params, verbosity=verbosity)
+
+    depths, colors, masks = sio.list_frames(args.data_dir)
+    if not depths:
+        print("error: no depth frames found", file=sys.stderr)
+        return 1
+
+    mesh_dir = os.path.join(args.data_dir, "meshes")
+    field_dir = os.path.join(args.data_dir, "fields")
+    shot_dir = os.path.join(args.data_dir, "screenshots")
+    if args.enable_log:
+        os.makedirs(mesh_dir, exist_ok=True)
+        os.makedirs(field_dir, exist_ok=True)
+    if args.enable_viz or args.enable_viz_detailed:
+        os.makedirs(shot_dir, exist_ok=True)
+
+    fusion = SobFusion(params)
+    start = 0
+    if args.resume and os.path.exists(args.resume):
+        ckpt.load_checkpoint(args.resume, fusion)
+        start = fusion.frame_counter
+        print(f"resumed at frame {start}")
+
+    timer = SampledScopeTime()
+    n_frames = len(depths) if args.max_frames is None else min(args.max_frames, len(depths))
+
+    for i in range(start, n_frames):
+        depth = sio.load_depth(depths[i])
+        if masks:
+            depth = sio.apply_mask(depth, sio.load_mask(masks[i]))
+
+        with timer:
+            fusion(jnp.asarray(depth))
+
+        if args.enable_log and fusion.frame_counter > 1:
+            mesh = fusion.get_phi_global_mesh()
+            sio.save_mesh_vtk(mesh, os.path.join(mesh_dir, f"mesh_{i:04d}.vtk"))
+            disp = np.asarray(displacement(fusion.psi.data))
+            sio.save_field_vti(disp, os.path.join(field_dir, f"psi_{i:04d}.vti"))
+
+        if (args.enable_viz or args.enable_viz_detailed) and fusion.frame_counter > 1:
+            from sobfu_tpu import viz
+
+            viz.save_screenshot(
+                fusion,
+                os.path.join(shot_dir, f"frame_{i:04d}.png"),
+                detailed=args.enable_viz_detailed,
+            )
+
+        if args.checkpoint:
+            ckpt.save_checkpoint(args.checkpoint, fusion)
+
+    print(f"processed {n_frames - start} frames, avg fps {timer.fps:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

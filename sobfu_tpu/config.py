@@ -1,0 +1,164 @@
+"""Configuration: camera intrinsics, solver/volume parameters, .ini parsing.
+
+Mirrors the reference parameter surface exactly:
+  * ``Params`` fields      -> reference include/sobfu/params.hpp:7-38
+  * ``.ini`` key inventory -> reference src/apps/demo.cpp:87-160
+  * voxel-unit -> metric conversion of TSDF_TRUNC_DIST / ETA and the
+    volume pose built from VOL_POSE_T_Z -> reference src/apps/demo.cpp:71-74
+
+The reference's scene configs under ``params/*.ini`` parse unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+
+class Intr(NamedTuple):
+    """Pinhole camera intrinsics (reference include/kfusion/types.hpp:28-34).
+
+    ``level(n)`` scales for pyramid level n, matching the reference's
+    ``Intr::operator()(int)`` used by ICP.
+    """
+
+    fx: float = 0.0
+    fy: float = 0.0
+    cx: float = 0.0
+    cy: float = 0.0
+
+    def level(self, level_index: int) -> "Intr":
+        div = 1 << level_index
+        return Intr(self.fx / div, self.fy / div, self.cx / div, self.cy / div)
+
+
+def translation_pose(t: Tuple[float, float, float]) -> np.ndarray:
+    """4x4 affine with identity rotation and translation t."""
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = t
+    return pose
+
+
+@dataclasses.dataclass
+class Params:
+    """Flat config struct, field-for-field parity with the reference Params."""
+
+    # frame geometry
+    cols: int = 640
+    rows: int = 480
+
+    # volume geometry: dims in voxels (x, y, z), size in metres
+    volume_dims: Tuple[int, int, int] = (128, 128, 128)
+    volume_size: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    volume_pose: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(4, dtype=np.float32)
+    )
+
+    intr: Intr = Intr(570.342, 570.342, 320.0, 240.0)
+
+    icp_truncate_depth_dist: float = 0.0  # TRUNC_DEPTH (metres)
+
+    bilateral_sigma_depth: float = 0.04
+    bilateral_sigma_spatial: float = 4.5
+    bilateral_kernel_size: int = 7
+
+    tsdf_trunc_dist: float = 0.0  # metres (after voxel->metre conversion)
+    eta: float = 0.0  # metres (after voxel->metre conversion)
+    tsdf_max_weight: float = 64.0
+
+    gradient_delta_factor: float = 0.5
+
+    start_frame: int = 0
+    verbosity: int = 0
+
+    # solver
+    s: int = 7
+    max_iter: int = 2048
+    max_update_norm: float = 0.1
+    lambda_: float = 0.1
+    alpha: float = 0.001
+    w_reg: float = 0.2
+
+    def voxel_sizes(self) -> Tuple[float, float, float]:
+        return (
+            self.volume_size[0] / self.volume_dims[0],
+            self.volume_size[1] / self.volume_dims[1],
+            self.volume_size[2] / self.volume_dims[2],
+        )
+
+
+# .ini key -> (attribute, converter). Matches demo.cpp:92-159.
+_SCALAR_KEYS = {
+    "TSDF_MAX_WEIGHT": ("tsdf_max_weight", float),
+    "GRADIENT_DELTA_FACTOR": ("gradient_delta_factor", float),
+    "TRUNC_DEPTH": ("icp_truncate_depth_dist", float),
+    "BILATERAL_SIGMA_DEPTH": ("bilateral_sigma_depth", float),
+    "BILATERAL_SIGMA_SPATIAL": ("bilateral_sigma_spatial", float),
+    "BILATERAL_KERNEL_SIZE": ("bilateral_kernel_size", int),
+    "START_FRAME": ("start_frame", int),
+    "MAX_ITER": ("max_iter", int),
+    "MAX_UPDATE_NORM": ("max_update_norm", float),
+    "S": ("s", int),
+    "LAMBDA": ("lambda_", float),
+    "ALPHA": ("alpha", float),
+    "W_REG": ("w_reg", float),
+}
+
+
+def _parse_ini(path: str) -> dict:
+    """Parse the reference's flat KEY=VALUE .ini format ('#' comments)."""
+    values = {}
+    with open(path, "r") as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, _, val = line.partition("=")
+            values[key.strip()] = val.strip()
+    return values
+
+
+def load_params(path: str, verbosity: int = 0) -> Params:
+    """Load a scene .ini (reference params/*.ini) into Params.
+
+    Applies the same voxel-unit conversions as the reference app
+    (demo.cpp:71-74): TSDF_TRUNC_DIST and ETA are given in voxels and
+    multiplied by the x voxel size; the volume pose translates the volume
+    so it is centred in x/y with the camera VOL_POSE_T_Z metres away in z.
+    """
+    vm = _parse_ini(path)
+    p = Params(verbosity=verbosity)
+
+    dims = list(p.volume_dims)
+    size = list(p.volume_size)
+    for i, axis in enumerate("XYZ"):
+        if f"VOL_DIMS_{axis}" in vm:
+            dims[i] = int(vm[f"VOL_DIMS_{axis}"])
+        if f"VOL_SIZE_{axis}" in vm:
+            size[i] = float(vm[f"VOL_SIZE_{axis}"])
+    p.volume_dims = tuple(dims)
+    p.volume_size = tuple(size)
+
+    intr = dict(zip("fx fy cx cy".split(), p.intr))
+    for key, attr in [("INTR_FX", "fx"), ("INTR_FY", "fy"), ("INTR_CX", "cx"), ("INTR_CY", "cy")]:
+        if key in vm:
+            intr[attr] = float(vm[key])
+    p.intr = Intr(**intr)
+
+    for key, (attr, conv) in _SCALAR_KEYS.items():
+        if key in vm:
+            setattr(p, attr, conv(vm[key]))
+
+    vsx = p.voxel_sizes()[0]
+    if "TSDF_TRUNC_DIST" in vm:
+        p.tsdf_trunc_dist = float(vm["TSDF_TRUNC_DIST"]) * vsx
+    if "ETA" in vm:
+        p.eta = float(vm["ETA"]) * vsx
+
+    t_z = float(vm.get("VOL_POSE_T_Z", 0.0))
+    p.volume_pose = translation_pose(
+        (-p.volume_size[0] / 2.0, -p.volume_size[1] / 2.0, t_z)
+    )
+    return p

@@ -1,0 +1,326 @@
+"""Field math: trilinear sampling, stencils, warps, deformation fields.
+
+Array conventions (TPU-first):
+  * scalar volumes are ``f32[Z, Y, X]`` — axis order (z, y, x) so the flat
+    index equals the reference's ``z*dimY*dimX + y*dimX + x`` layout and X,
+    the innermost axis, maps onto TPU lanes.
+  * vector fields are ``f32[3, Z, Y, X]`` with channel order (x, y, z):
+    channels-first keeps the last axis wide for the VPU.
+  * a deformation field ``psi`` stores ABSOLUTE target coordinates in voxel
+    units, not displacements (reference src/sobfu/cuda/vector_fields.cu:64-79);
+    identity init writes (x, y, z) per voxel and ``displacement`` subtracts it
+    (vector_fields.cu:24-26).
+
+Numerical contracts preserved from the reference:
+  * trilinear interpolation clamps coordinates to [0, dim-1]
+    (include/sobfu/cuda/utils.hpp:51-122); the interpolated TSDF weight is
+    the weight of the floor corner voxel (utils.hpp:83).
+  * first-order stencils (gradient / Jacobian) are central differences that
+    evaluate to ZERO on boundary slices — at x==0 the reference sets both
+    sample indices to x+1 (vector_fields.cu:165-179), making the difference
+    vanish.
+  * the "Laplacian" is the NEGATED 6-neighbour Laplacian, ``6*f - sum of
+    neighbours``, with boundary neighbours clamped to the centre so the
+    per-axis contribution vanishes at boundaries (vector_fields.cu:291-337).
+  * the inverse deformation field is a 48-step fixed-point iteration
+    ``psi_inv <- id - disp(psi) o psi_inv`` (vector_fields.cu:111-138).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# shifts / padding helpers
+# ---------------------------------------------------------------------------
+
+
+def _pad_zeros(f: jnp.ndarray, axis: int, before: int, after: int) -> jnp.ndarray:
+    pad = [(0, 0)] * f.ndim
+    pad[axis] = (before, after)
+    return jnp.pad(f, pad)
+
+
+def _slice(f: jnp.ndarray, axis: int, start: int, size: int) -> jnp.ndarray:
+    return jax.lax.slice_in_dim(f, start, start + size, axis=axis)
+
+
+def central_diff(f: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """(f[i+1] - f[i-1]) / 2 in the interior, 0 on the two boundary slices."""
+    n = f.shape[axis]
+    interior = (_slice(f, axis, 2, n - 2) - _slice(f, axis, 0, n - 2)) * 0.5
+    return _pad_zeros(interior, axis, 1, 1)
+
+
+def second_diff(f: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """f[i+1] + f[i-1] - 2 f[i] in the interior, 0 on boundary slices."""
+    n = f.shape[axis]
+    interior = (
+        _slice(f, axis, 2, n - 2)
+        + _slice(f, axis, 0, n - 2)
+        - 2.0 * _slice(f, axis, 1, n - 2)
+    )
+    return _pad_zeros(interior, axis, 1, 1)
+
+
+def conv1d_replicate(f: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """1-D correlation with edge-replicate padding along ``axis``.
+
+    out[i] = sum_j taps[r - j] * f[clamp(i + j)], j in [-r, r] — exactly the
+    reference's axis convolution (src/sobfu/cuda/solver.cu:286-288 with
+    clamp-to-edge halo loads). taps length must be odd.
+    """
+    s = taps.shape[0]
+    r = s // 2
+    axis = axis % f.ndim
+    n = f.shape[axis]
+    fpad = jnp.pad(
+        f, [(r, r) if a == axis else (0, 0) for a in range(f.ndim)], mode="edge"
+    )
+    out = jnp.zeros_like(f)
+    for u in range(s):
+        out = out + taps[u] * _slice(fpad, axis, 2 * r - u, n)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# deformation field
+# ---------------------------------------------------------------------------
+
+
+def identity_field(dims_zyx: Tuple[int, int, int], dtype=jnp.float32) -> jnp.ndarray:
+    """Identity deformation: psi[c, z, y, x] = (x, y, z)[c] in voxel units."""
+    Z, Y, X = dims_zyx
+    zz, yy, xx = jnp.meshgrid(
+        jnp.arange(Z, dtype=dtype),
+        jnp.arange(Y, dtype=dtype),
+        jnp.arange(X, dtype=dtype),
+        indexing="ij",
+    )
+    return jnp.stack([xx, yy, zz], axis=0)
+
+
+def displacement(psi: jnp.ndarray) -> jnp.ndarray:
+    """psi - identity (voxel units)."""
+    return psi - identity_field(psi.shape[1:], psi.dtype)
+
+
+# ---------------------------------------------------------------------------
+# trilinear sampling
+# ---------------------------------------------------------------------------
+
+
+def _corner_indices(coords: jnp.ndarray, dims_zyx: Tuple[int, int, int]):
+    """Clamped floor/ceil corner indices + fractional weights.
+
+    coords: f32[3, ...] channel order (x, y, z), voxel units.
+    Returns ((x0,y0,z0), (x1,y1,z1), (fx,fy,fz)) with ints clamped in-range.
+    """
+    Z, Y, X = dims_zyx
+    cx = jnp.clip(coords[0], 0.0, X - 1)
+    cy = jnp.clip(coords[1], 0.0, Y - 1)
+    cz = jnp.clip(coords[2], 0.0, Z - 1)
+    x0f = jnp.floor(cx)
+    y0f = jnp.floor(cy)
+    z0f = jnp.floor(cz)
+    fx = cx - x0f
+    fy = cy - y0f
+    fz = cz - z0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    z0 = z0f.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, X - 1)
+    y1 = jnp.minimum(y0 + 1, Y - 1)
+    z1 = jnp.minimum(z0 + 1, Z - 1)
+    return (x0, y0, z0), (x1, y1, z1), (fx, fy, fz)
+
+
+def _flat(x, y, z, X: int, Y: int):
+    return (z * Y + y) * X + x
+
+
+def _blend(c000, c100, c010, c110, c001, c101, c011, c111, fx, fy, fz):
+    """Trilinear blend; c<abc> is the corner at x-offset a, y-offset b, z-offset c."""
+    c00 = c000 + (c100 - c000) * fx
+    c10 = c010 + (c110 - c010) * fx
+    c01 = c001 + (c101 - c001) * fx
+    c11 = c011 + (c111 - c011) * fx
+    c0 = c00 + (c10 - c00) * fy
+    c1 = c01 + (c11 - c01) * fy
+    return c0 + (c1 - c0) * fz
+
+
+@jax.jit
+def sample_trilinear(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Clamped trilinear sampling of a scalar volume f32[Z,Y,X].
+
+    coords: f32[3, ...] channels (x, y, z) in voxel units.
+    Mirrors reference interpolate_tsdf (utils.hpp:51-86).
+    """
+    Z, Y, X = vol.shape
+    (x0, y0, z0), (x1, y1, z1), (fx, fy, fz) = _corner_indices(coords, (Z, Y, X))
+    v = vol.reshape(-1)
+    take = lambda xi, yi, zi: jnp.take(v, _flat(xi, yi, zi, X, Y))
+    return _blend(
+        take(x0, y0, z0), take(x1, y0, z0), take(x0, y1, z0), take(x1, y1, z0),
+        take(x0, y0, z1), take(x1, y0, z1), take(x0, y1, z1), take(x1, y1, z1),
+        fx, fy, fz,
+    )
+
+
+@jax.jit
+def sample_nearest_floor(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Value at the clamped floor corner (the reference's warped-weight rule)."""
+    Z, Y, X = vol.shape
+    (x0, y0, z0), _, _ = _corner_indices(coords, (Z, Y, X))
+    return jnp.take(vol.reshape(-1), _flat(x0, y0, z0, X, Y))
+
+
+@jax.jit
+def sample_field_trilinear(field: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Clamped trilinear sampling of a vector field f32[C,Z,Y,X] -> f32[C, ...].
+
+    Mirrors reference interpolate_field (utils.hpp:88-122).
+    """
+    C, Z, Y, X = field.shape
+    (x0, y0, z0), (x1, y1, z1), (fx, fy, fz) = _corner_indices(coords, (Z, Y, X))
+    v = field.reshape(C, -1)
+    take = lambda xi, yi, zi: jnp.take(v, _flat(xi, yi, zi, X, Y), axis=1)
+    return _blend(
+        take(x0, y0, z0), take(x1, y0, z0), take(x0, y1, z0), take(x1, y1, z0),
+        take(x0, y0, z1), take(x1, y0, z1), take(x0, y1, z1), take(x1, y1, z1),
+        fx[None], fy[None], fz[None],
+    )
+
+
+# ---------------------------------------------------------------------------
+# warping
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def warp_tsdf(
+    tsdf: jnp.ndarray, weight: jnp.ndarray, psi: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """phi o psi: sample (tsdf, weight) at the absolute coordinates in psi.
+
+    Mirrors reference apply_kernel (vector_fields.cu:81-100): trilinear for
+    the tsdf value, floor-corner for the weight.
+    """
+    warped = sample_trilinear(tsdf, psi)
+    warped_w = sample_nearest_floor(weight, psi)
+    return warped, warped_w
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def estimate_inverse(psi: jnp.ndarray, iters: int = 48) -> jnp.ndarray:
+    """Fixed-point inverse: psi_inv <- id - disp(psi) o psi_inv, ``iters`` steps.
+
+    Mirrors reference estimate_inverse (vector_fields.cu:111-138; hard-coded
+    48 iterations). The displacement field is precomputed once — psi is
+    constant during the iteration.
+    """
+    ident = identity_field(psi.shape[1:], psi.dtype)
+    disp = psi - ident
+
+    def body(_, psi_inv):
+        return ident - sample_field_trilinear(disp, psi_inv)
+
+    return jax.lax.fori_loop(0, iters, body, ident)
+
+
+# ---------------------------------------------------------------------------
+# differentiators
+# ---------------------------------------------------------------------------
+
+# volume axis for each coordinate: x -> axis 2 (X), y -> axis 1 (Y), z -> axis 0 (Z)
+_COORD_AXIS = (2, 1, 0)
+
+
+@jax.jit
+def tsdf_gradient(tsdf: jnp.ndarray) -> jnp.ndarray:
+    """Central-difference gradient of a scalar volume -> f32[3,Z,Y,X] (x,y,z).
+
+    Mirrors reference TsdfDifferentiator (vector_fields.cu:157-208): voxel-unit
+    spacing, zero on boundary slices.
+    """
+    return jnp.stack([central_diff(tsdf, _COORD_AXIS[c]) for c in range(3)], axis=0)
+
+
+@jax.jit
+def jacobian(field: jnp.ndarray) -> jnp.ndarray:
+    """Jacobian of a vector field -> f32[3,3,Z,Y,X], J[r,c] = d field_r / d x_c.
+
+    Mirrors reference Differentiator mode 0 (vector_fields.cu:415-472).
+    For the solver's mode 1 (Jacobian of the displacement) pass
+    ``displacement(psi)`` — the identity's Jacobian is I, and the reference
+    subtracts the identity before differencing, which is equivalent.
+    """
+    rows = []
+    for r in range(3):
+        rows.append(
+            jnp.stack(
+                [central_diff(field[r], _COORD_AXIS[c]) for c in range(3)], axis=0
+            )
+        )
+    return jnp.stack(rows, axis=0)
+
+
+def deformation_jacobian(psi: jnp.ndarray) -> jnp.ndarray:
+    """Jacobian of the displacement field of psi (reference mode 1)."""
+    return jacobian(displacement(psi))
+
+
+@jax.jit
+def neg_laplacian(field: jnp.ndarray) -> jnp.ndarray:
+    """Negated 6-neighbour Laplacian: 6f - sum(neighbours), boundary-clamped.
+
+    Mirrors reference SecondOrderDifferentiator::laplacian
+    (vector_fields.cu:291-337): per-axis contribution vanishes on that axis's
+    boundary slices. Works on f32[..., Z, Y, X] (applied per channel).
+    """
+    lap = (
+        second_diff(field, -1) + second_diff(field, -2) + second_diff(field, -3)
+    )
+    return -lap
+
+
+# ---------------------------------------------------------------------------
+# host-facing DeformationField wrapper
+# ---------------------------------------------------------------------------
+
+
+class DeformationField:
+    """Thin stateful wrapper over a psi array (parity with the reference's
+    sobfu::cuda::DeformationField, include/sobfu/vector_fields.hpp:59-112).
+
+    dims is (X, Y, Z) like the reference's volume_dims; data is f32[3,Z,Y,X].
+    """
+
+    def __init__(self, dims_xyz: Tuple[int, int, int], data: jnp.ndarray = None):
+        self.dims = tuple(int(d) for d in dims_xyz)
+        zyx = (self.dims[2], self.dims[1], self.dims[0])
+        self.data = identity_field(zyx) if data is None else data
+
+    def clear(self) -> None:
+        """Reset to the identity (the reference's 'clear' for psi)."""
+        self.data = identity_field(self.data.shape[1:], self.data.dtype)
+
+    def get_displacement(self) -> jnp.ndarray:
+        return displacement(self.data)
+
+    def apply(self, tsdf: jnp.ndarray, weight: jnp.ndarray):
+        return warp_tsdf(tsdf, weight, self.data)
+
+    def get_inverse(self, iters: int = 48) -> "DeformationField":
+        return DeformationField(self.dims, estimate_inverse(self.data, iters))
+
+    def no_nans(self) -> bool:
+        """Parity with reference get_no_nans (vector_fields.cpp:31-79)."""
+        return not bool(jnp.any(jnp.isnan(self.data)))

@@ -1,0 +1,361 @@
+"""Spatial sharding of the solver across a TPU mesh.
+
+The reference is single-GPU (SURVEY.md §2: no distributed layer). The
+TPU-native scale-out path shards the voxel grid along Z across the ICI mesh
+with `shard_map`:
+
+  * per-iteration stencils / convolutions use a radius-4 halo exchange
+    (`lax.ppermute` of boundary slices) — the z-stencil radius is 1 and the
+    Sobolev convolution radius is 3, so one 4-slice exchange per iteration
+    covers both;
+  * the live TSDF `phi_n` is all-gathered ONCE per solve (it is constant
+    during the gradient descent), which makes the trilinear warp gather
+    exact — no bound on displacement — while psi and all per-iteration
+    state stay sharded;
+  * the convergence norm is a `lax.pmax` — the loop predicate never leaves
+    the devices;
+  * scene-level data parallelism is a `vmap` over a leading scene axis laid
+    out on a second mesh axis.
+
+All collectives ride ICI; nothing ever syncs to the host inside the loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sobfu_tpu import fields
+from sobfu_tpu.fields import conv1d_replicate, _slice  # reuse helpers
+
+
+def make_mesh(
+    n_z: Optional[int] = None, n_scene: int = 1, devices=None
+) -> Mesh:
+    """Create a ('scene', 'z') device mesh. n_z defaults to all devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_z is None:
+        n_z = len(devices) // n_scene
+    devices = devices[: n_scene * n_z].reshape(n_scene, n_z)
+    return Mesh(devices, ("scene", "z"))
+
+
+# ---------------------------------------------------------------------------
+# halo exchange + halo-aware stencils
+# ---------------------------------------------------------------------------
+
+
+def _halo_exchange_z(x: jnp.ndarray, h: int, axis_name: str) -> jnp.ndarray:
+    """Pad the local z-block (axis -3) with h slices from both neighbours.
+
+    Boundary shards replicate their edge slice (matching the reference's
+    clamp-to-edge stencil/convolution semantics, solver.cu:246-270).
+    """
+    nz = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    zax = x.ndim - 3
+
+    top = jax.lax.slice_in_dim(x, x.shape[zax] - h, x.shape[zax], axis=zax)
+    bot = jax.lax.slice_in_dim(x, 0, h, axis=zax)
+
+    # lower halo: top slices of the previous shard (i-1 -> i)
+    lower = jax.lax.ppermute(top, axis_name, [(i, (i + 1) % nz) for i in range(nz)])
+    # upper halo: bottom slices of the next shard (i+1 -> i)
+    upper = jax.lax.ppermute(bot, axis_name, [(i, (i - 1) % nz) for i in range(nz)])
+
+    # replicate edges on the global boundary shards
+    edge_lo = jnp.repeat(jax.lax.slice_in_dim(x, 0, 1, axis=zax), h, axis=zax)
+    edge_hi = jnp.repeat(
+        jax.lax.slice_in_dim(x, x.shape[zax] - 1, x.shape[zax], axis=zax), h, axis=zax
+    )
+    lower = jnp.where(idx == 0, edge_lo, lower)
+    upper = jnp.where(idx == nz - 1, edge_hi, upper)
+    return jnp.concatenate([lower, x, upper], axis=zax)
+
+
+def _central_diff_z_halo(xp: jnp.ndarray, h: int, zmask) -> jnp.ndarray:
+    """d/dz on a halo-padded block -> local-sized result, zero at global edges."""
+    zax = xp.ndim - 3
+    n_local = xp.shape[zax] - 2 * h
+    up = jax.lax.slice_in_dim(xp, h + 1, h + 1 + n_local, axis=zax)
+    dn = jax.lax.slice_in_dim(xp, h - 1, h - 1 + n_local, axis=zax)
+    return (up - dn) * 0.5 * zmask
+
+
+def _second_diff_z_halo(xp: jnp.ndarray, h: int, zmask) -> jnp.ndarray:
+    zax = xp.ndim - 3
+    n_local = xp.shape[zax] - 2 * h
+    up = jax.lax.slice_in_dim(xp, h + 1, h + 1 + n_local, axis=zax)
+    mid = jax.lax.slice_in_dim(xp, h, h + n_local, axis=zax)
+    dn = jax.lax.slice_in_dim(xp, h - 1, h - 1 + n_local, axis=zax)
+    return (up + dn - 2.0 * mid) * zmask
+
+
+def _conv_z_halo(xp: jnp.ndarray, taps: jnp.ndarray, h: int) -> jnp.ndarray:
+    """z-convolution consuming radius r of the h-halo -> local-sized result."""
+    s = taps.shape[0]
+    r = s // 2
+    zax = xp.ndim - 3
+    n_local = xp.shape[zax] - 2 * h
+    out = None
+    for u in range(s):
+        sl = jax.lax.slice_in_dim(xp, h + r - u, h + r - u + n_local, axis=zax)
+        out = taps[u] * sl if out is None else out + taps[u] * sl
+    return out
+
+
+def _zmask(n_local: int, h_is_first, h_is_last, dtype=jnp.float32) -> jnp.ndarray:
+    """1 everywhere except the global boundary z-slices (stencils vanish
+    there, matching vector_fields.cu:165-191)."""
+    col = jnp.ones((n_local, 1, 1), dtype)
+    first = col.at[0].set(0.0)
+    last = col.at[-1].set(0.0)
+    m = jnp.where(h_is_first, first, col)
+    m = jnp.where(h_is_last, m * last, m)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# sharded solve
+# ---------------------------------------------------------------------------
+
+
+def _gd_step_local(
+    psi_l, tnp_l, tsdf_g_l, tsdf_n_full, taps, alpha, w_reg, z0, axis_name
+):
+    """One gradient-descent step on a local z-block (runs inside shard_map).
+
+    psi_l/tnp_l/tsdf_g_l: local blocks [.., Zl, Y, X]; tsdf_n_full: the full
+    live volume (replicated); z0: global z offset of this block.
+    """
+    H = 4  # halo: stencil radius 1 + conv radius 3
+    nz = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    zmask = _zmask(psi_l.shape[-3], idx == 0, idx == nz - 1)
+
+    psi_p = _halo_exchange_z(psi_l, H, axis_name)
+    tnp_p = _halo_exchange_z(tnp_l, H, axis_name)
+
+    # gradient of the warped live tsdf: x/y stencils are local, z uses halo
+    gx = fields.central_diff(tnp_l, -1)
+    gy = fields.central_diff(tnp_l, -2)
+    gz = _central_diff_z_halo(tnp_p, H, zmask)
+    grad = jnp.stack([gx, gy, gz], axis=0)
+
+    # negated Laplacian of psi
+    lap = -(
+        fields.second_diff(psi_l, -1)
+        + fields.second_diff(psi_l, -2)
+        + _second_diff_z_halo(psi_p, H, zmask)
+    )
+
+    dU = (tnp_l - tsdf_g_l)[None] * grad + w_reg * lap
+
+    # Sobolev smoothing: x/y convs are local (replicate pad), z conv needs halo
+    dU_p = _halo_exchange_z(dU, H, axis_name)
+    dU_S = (
+        conv1d_replicate(dU, taps, axis=-1)
+        + conv1d_replicate(dU, taps, axis=-2)
+        + _conv_z_halo(dU_p, taps, H)
+    )
+
+    update = alpha * dU_S
+    psi_new = psi_l - update
+
+    # exact warp: psi holds GLOBAL coords; gather from the full live volume
+    tnp_new = fields.sample_trilinear(tsdf_n_full, psi_new)
+
+    mnorm = jnp.sqrt(jnp.max(jnp.sum(update * update, axis=0)))
+    mnorm = jax.lax.pmax(mnorm, axis_name)
+    return psi_new, tnp_new, mnorm
+
+
+def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48):
+    """Build a jit-compiled sharded solve for the given mesh.
+
+    Returns fn(psi, tsdf_global, weight_global, tsdf_n, weight_n, taps,
+    alpha, w_reg, max_iter, thresh) -> (psi, psi_inv, tnp, wnp, tgi, wgi,
+    iters, max_norm). Arrays are full-sized; jit lays them out sharded.
+    """
+    axis = "z"
+
+    def local_solve(psi_l, tg_l, wg_l, tn_l, wn_l, taps, alpha, w_reg,
+                    max_iter, thresh):
+        # all-gather the live volume once; it is read-only during the solve
+        tsdf_n_full = jax.lax.all_gather(tn_l, axis, axis=0, tiled=True)
+        n_local = psi_l.shape[-3]
+        z0 = jax.lax.axis_index(axis) * n_local
+
+        def cond(state):
+            _, _, it, mn = state
+            return (it < max_iter) & (mn > thresh)
+
+        def body(state):
+            psi_l, tnp_l, it, _ = state
+            psi_l, tnp_l, mnorm = _gd_step_local(
+                psi_l, tnp_l, tg_l, tsdf_n_full, taps, alpha, w_reg, z0, axis
+            )
+            return psi_l, tnp_l, it + 1, mnorm
+
+        tnp0 = fields.sample_trilinear(tsdf_n_full, psi_l)
+        psi_l, tnp_l, iters, mnorm = jax.lax.while_loop(
+            cond, body, (psi_l, tnp0, jnp.int32(0), jnp.float32(jnp.inf))
+        )
+
+        # inverse field: needs the full displacement field for its gathers
+        psi_full = jax.lax.all_gather(psi_l, axis, axis=1, tiled=True)
+        ident_full = fields.identity_field(psi_full.shape[1:], psi_full.dtype)
+        disp_full = psi_full - ident_full
+        ident_l = jax.lax.dynamic_slice_in_dim(ident_full, z0, n_local, axis=1)
+
+        def inv_body(_, inv_l):
+            return ident_l - fields.sample_field_trilinear(disp_full, inv_l)
+
+        psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
+
+        # warp the global volume by psi_inv (needs full phi_global)
+        tg_full = jax.lax.all_gather(tg_l, axis, axis=0, tiled=True)
+        wg_full = jax.lax.all_gather(wg_l, axis, axis=0, tiled=True)
+        tgi_l = fields.sample_trilinear(tg_full, psi_inv_l)
+        wgi_l = fields.sample_nearest_floor(wg_full, psi_inv_l)
+
+        wn_full = jax.lax.all_gather(wn_l, axis, axis=0, tiled=True)
+        wnp_l = fields.sample_nearest_floor(wn_full, psi_l)
+
+        return psi_l, psi_inv_l, tnp_l, wnp_l, tgi_l, wgi_l, iters, mnorm
+
+    from jax.experimental.shard_map import shard_map
+
+    mapped = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(
+            P(None, "z"), P("z"), P("z"), P("z"), P("z"),
+            P(), P(), P(), P(), P(),
+        ),
+        out_specs=(
+            P(None, "z"), P(None, "z"), P("z"), P("z"), P("z"), P("z"),
+            P(), P(),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def estimate_psi_sharded(mesh: Mesh, psi, tsdf_global, weight_global, tsdf_n,
+                         weight_n, taps, alpha, w_reg, max_iter, thresh,
+                         inverse_iters: int = 48):
+    """Convenience wrapper: build + run the sharded solve."""
+    fn = make_sharded_estimate_psi(mesh, inverse_iters)
+    return fn(
+        psi, tsdf_global, weight_global, tsdf_n, weight_n,
+        jnp.asarray(taps), jnp.float32(alpha), jnp.float32(w_reg),
+        jnp.int32(max_iter), jnp.float32(thresh),
+    )
+
+
+# ---------------------------------------------------------------------------
+# full sharded training/fusion step (scene-batched + z-sharded)
+# ---------------------------------------------------------------------------
+
+
+def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
+                    inverse_iters: int = 8):
+    """One full frame step (integrate -> solve -> fuse) over a
+    ('scene', 'z') mesh: scenes are data-parallel, the grid is z-sharded.
+
+    shard_map is outermost; scenes within a shard are handled by an inner
+    vmap. Returns (jitted step fn, sharding dict). Step signature:
+      step(psi_b, tg_b, wg_b, dists_b, vol2cam_b, intr, voxel_sizes,
+           trunc, eta, max_weight, taps, alpha, w_reg, max_iter, thresh)
+      -> (psi_b, psi_inv_b, tg_b, wg_b, iters_b, mnorm_b)
+    with psi_b f32[S,3,Z,Y,X], volumes f32[S,Z,Y,X], dists f32[S,H,W].
+    """
+    from jax.experimental.shard_map import shard_map
+    from sobfu_tpu.tsdf import integrate_dists, fuse_volumes
+
+    axis = "z"
+    Z = dims_zyx[0]
+    n_z = mesh.shape[axis]
+    local_dims = (Z // n_z, dims_zyx[1], dims_zyx[2])
+
+    def per_scene(psi_l, tg_l, wg_l, dists, vol2cam, intr, voxel_sizes,
+                  trunc, eta, max_weight, taps, alpha, w_reg, max_iter,
+                  thresh):
+        z0 = jax.lax.axis_index(axis) * local_dims[0]
+        tn_l, wn_l = integrate_dists(
+            jnp.zeros_like(tg_l), jnp.zeros_like(wg_l), dists, vol2cam, intr,
+            voxel_sizes, trunc, eta, local_dims, z0,
+        )
+
+        tsdf_n_full = jax.lax.all_gather(tn_l, axis, axis=0, tiled=True)
+
+        def cond(state):
+            _, _, it, mn = state
+            return (it < max_iter) & (mn > thresh)
+
+        def body(state):
+            psi_l, tnp_l, it, _ = state
+            psi_l, tnp_l, mnorm = _gd_step_local(
+                psi_l, tnp_l, tg_l, tsdf_n_full, taps, alpha, w_reg, z0, axis
+            )
+            return psi_l, tnp_l, it + 1, mnorm
+
+        tnp0 = fields.sample_trilinear(tsdf_n_full, psi_l)
+        psi_l, tnp_l, iters, mnorm = jax.lax.while_loop(
+            cond, body, (psi_l, tnp0, jnp.int32(0), jnp.float32(jnp.inf))
+        )
+
+        psi_full = jax.lax.all_gather(psi_l, axis, axis=1, tiled=True)
+        ident_full = fields.identity_field(psi_full.shape[1:], psi_full.dtype)
+        disp_full = psi_full - ident_full
+        ident_l = jax.lax.dynamic_slice_in_dim(
+            ident_full, z0, local_dims[0], axis=1
+        )
+
+        def inv_body(_, inv_l):
+            return ident_l - fields.sample_field_trilinear(disp_full, inv_l)
+
+        psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
+
+        wn_full = jax.lax.all_gather(wn_l, axis, axis=0, tiled=True)
+        wnp_l = fields.sample_nearest_floor(wn_full, psi_l)
+
+        tg2_l, wg2_l = fuse_volumes(tg_l, wg_l, tnp_l, wnp_l, max_weight)
+        return psi_l, psi_inv_l, tg2_l, wg2_l, iters, mnorm
+
+    def local_step(psi_b, tg_b, wg_b, dists_b, vol2cam_b, intr, voxel_sizes,
+                   trunc, eta, max_weight, taps, alpha, w_reg, max_iter,
+                   thresh):
+        return jax.vmap(
+            per_scene,
+            in_axes=(0, 0, 0, 0, 0) + (None,) * 10,
+        )(psi_b, tg_b, wg_b, dists_b, vol2cam_b, intr, voxel_sizes, trunc,
+          eta, max_weight, taps, alpha, w_reg, max_iter, thresh)
+
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("scene", None, "z"), P("scene", "z"), P("scene", "z"),
+            P("scene"), P("scene"),
+            P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(
+            P("scene", None, "z"), P("scene", None, "z"),
+            P("scene", "z"), P("scene", "z"), P("scene"), P("scene"),
+        ),
+        check_vma=False,
+    )
+
+    shardings = {
+        "psi": NamedSharding(mesh, P("scene", None, "z")),
+        "vol": NamedSharding(mesh, P("scene", "z")),
+        "img": NamedSharding(mesh, P("scene")),
+    }
+    return jax.jit(mapped), shardings

@@ -1,0 +1,309 @@
+"""Sobolev-gradient warp-field solver.
+
+The reference hot loop (src/sobfu/cuda/solver.cu:85-205) launches ~10 kernels
+per gradient-descent iteration and round-trips the convergence norm to the
+host every iteration. Here the WHOLE solve is one jit-compiled
+``lax.while_loop`` whose convergence predicate lives on device; XLA fuses the
+per-iteration elementwise chains and stencils.
+
+Per iteration (solver.cu:114-193):
+  1. grad   = central-difference gradient of (phi_n o psi)
+  2. L      = negated 6-neighbour Laplacian of psi
+  3. dU     = (phi_n_psi - phi_global) * grad + w_reg * L
+  4. dU_S   = conv_x(dU) + conv_y(dU) + conv_z(dU)
+              — a SUM of three 1-D convolutions of the same source, NOT a
+              separable tensor-product filter (solver.cu:290 assigns, :366
+              and :443 accumulate). Reproducing this exactly matters for
+              output parity.
+  5. update = alpha * dU_S ; psi -= update
+  6. phi_n_psi = warp(phi_n, psi)
+  7. max ||update|| <= max_update_norm -> stop
+
+Afterwards (solver.cu:195-200): psi_inv by 48 fixed-point iterations, then
+phi_global_psi_inv = warp(phi_global, psi_inv).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sobfu_tpu import fields
+from sobfu_tpu.config import Params
+
+
+# ---------------------------------------------------------------------------
+# Sobolev filter
+# ---------------------------------------------------------------------------
+
+# Published 1-D decompositions of the Sobolev filter for the (s, lambda)
+# pairs shipped with the method (reference src/sobfu/solver.cpp:160-262).
+# Each is the leading singular vector (unit L2 norm) of the unfolded 3-D
+# solution of (Id - lambda*L) S = e_center; `sobolev_filter_1d` normalises
+# to unit sum exactly as the reference does before use.
+_FILTER_TABLE = {
+    (3, 0.1): [0.06537, 0.99572, 0.06537],
+    (7, 0.05): [0.00006, 0.00015, 0.03917, 0.99846, 0.03917, 0.00015, 0.00006],
+    (7, 0.1): [0.00030, 0.00441, 0.06571, 0.99565, 0.06571, 0.00441, 0.00030],
+    (7, 0.2): [0.00120, 0.01094, 0.10204, 0.98941, 0.10204, 0.01094, 0.00120],
+    (7, 0.4): [0.00169, 0.01312, 0.10927, 0.98781, 0.10927, 0.01312, 0.00169],
+    (9, 0.05): [0.000003, 0.00006, 0.00155, 0.03917, 0.99846,
+                0.03917, 0.00155, 0.00006, 0.000003],
+    (9, 0.1): [0.00002, 0.00030, 0.00441, 0.06571, 0.99565,
+               0.06571, 0.00441, 0.00030, 0.00002],
+    (11, 0.1): [0.0000015, 0.00002, 0.00030, 0.00441, 0.06571, 0.99565,
+                0.06571, 0.00441, 0.00030, 0.00002, 0.0000015],
+}
+
+
+def solve_sobolev_filter_3d(s: int, lam: float) -> np.ndarray:
+    """Solve (Id - lambda * L) S = e_center on an s^3 grid -> f32[s,s,s].
+
+    L is the 6-neighbour Laplacian matrix with -6 diagonals and zero-Neumann
+    truncation at the patch boundary (reference get_3d_sobolev_filter,
+    solver.cpp:107-158 — present there but only printed; here it is actually
+    used so arbitrary (s, lambda) work).
+    """
+    n = s ** 3
+    idx = np.arange(n)
+    ix = idx % s
+    iy = (idx // s) % s
+    iz = idx // (s * s)
+    L = -6.0 * np.eye(n)
+    for dx, dy, dz in [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]:
+        jx, jy, jz = ix + dx, iy + dy, iz + dz
+        ok = (jx >= 0) & (jx < s) & (jy >= 0) & (jy < s) & (jz >= 0) & (jz < s)
+        src = idx[ok]
+        dst = (jx + jy * s + jz * s * s)[ok]
+        L[src, dst] = 1.0
+    e = np.zeros(n)
+    e[int(np.floor(n / 2.0))] = 1.0
+    S = np.linalg.solve(np.eye(n) - lam * L, e)
+    return S.reshape(s, s, s).astype(np.float32)  # index order [z, y, x]
+
+
+def decompose_filter_1d(S3: np.ndarray) -> np.ndarray:
+    """Leading rank-1 factor of a (near-separable) 3-D filter -> unit-L2 1-D taps."""
+    s = S3.shape[0]
+    U, sv, _ = np.linalg.svd(S3.reshape(s, s * s), full_matrices=False)
+    v = U[:, 0]
+    if v[s // 2] < 0:
+        v = -v
+    return v.astype(np.float32)
+
+
+def sobolev_filter_1d(s: int, lam: float) -> np.ndarray:
+    """Unit-sum 1-D Sobolev filter taps for kernel size s and parameter lambda.
+
+    Uses the published table when available (bit-parity with the reference's
+    decompose_sobolev_filter, solver.cpp:160-262), otherwise derives the taps
+    from the principled (Id - lambda L) solve. Normalised to unit sum.
+    """
+    key = (int(s), round(float(lam), 6))
+    if key in _FILTER_TABLE:
+        taps = np.asarray(_FILTER_TABLE[key], dtype=np.float32)
+    else:
+        taps = decompose_filter_1d(solve_sobolev_filter_3d(int(s), float(lam)))
+    return (taps / taps.sum()).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# energies / reductions (reference src/sobfu/reductor.cpp, fully on device)
+# ---------------------------------------------------------------------------
+
+
+def data_energy(tsdf_global: jnp.ndarray, tsdf_n_psi: jnp.ndarray) -> jnp.ndarray:
+    """0.5 * sum (phi_global - phi_n_psi)^2 (reductor.cpp:38-43)."""
+    d = tsdf_global - tsdf_n_psi
+    return 0.5 * jnp.sum(d * d)
+
+
+def reg_energy_sobolev(psi: jnp.ndarray) -> jnp.ndarray:
+    """0.5 * sum ||J(disp(psi))||_F^2 (reductor.cpp:45-50)."""
+    J = fields.deformation_jacobian(psi)
+    return 0.5 * jnp.sum(J * J)
+
+
+def max_update_norm(updates: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(max ||update||, flat argmax index) over f32[3,Z,Y,X] (reductor.cu:342-455)."""
+    norm_sq = jnp.sum(updates * updates, axis=0).reshape(-1)
+    idx = jnp.argmax(norm_sq)
+    return jnp.sqrt(norm_sq[idx]), idx
+
+
+# ---------------------------------------------------------------------------
+# the solve
+# ---------------------------------------------------------------------------
+
+
+class SolverState(NamedTuple):
+    psi: jnp.ndarray          # f32[3,Z,Y,X] absolute coords (voxel units)
+    tsdf_n_psi: jnp.ndarray   # f32[Z,Y,X]   warped live tsdf
+    iter: jnp.ndarray         # i32          iterations completed
+    max_norm: jnp.ndarray     # f32          last max-update norm
+    energy: jnp.ndarray       # f32[cap, 3]  (e_data, e_reg, max_norm) history
+
+
+class SolveResult(NamedTuple):
+    psi: jnp.ndarray
+    psi_inv: jnp.ndarray
+    tsdf_n_psi: jnp.ndarray
+    weight_n_psi: jnp.ndarray
+    tsdf_global_psi_inv: jnp.ndarray
+    weight_global_psi_inv: jnp.ndarray
+    iters: jnp.ndarray
+    max_norm: jnp.ndarray
+    energy: jnp.ndarray
+
+
+def sobolev_smooth(dU: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Sum of three axis-wise 1-D replicate-pad convolutions of the SAME input."""
+    return (
+        fields.conv1d_replicate(dU, taps, axis=-1)
+        + fields.conv1d_replicate(dU, taps, axis=-2)
+        + fields.conv1d_replicate(dU, taps, axis=-3)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("record_energy", "energy_cap", "inverse_iters"),
+    donate_argnums=(0,),
+)
+def estimate_psi(
+    psi: jnp.ndarray,
+    tsdf_global: jnp.ndarray,
+    weight_global: jnp.ndarray,
+    tsdf_n: jnp.ndarray,
+    weight_n: jnp.ndarray,
+    taps: jnp.ndarray,
+    alpha: jnp.ndarray,
+    w_reg: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    max_update_norm_thresh: jnp.ndarray,
+    *,
+    record_energy: bool = False,
+    energy_cap: int = 0,
+    inverse_iters: int = 48,
+) -> SolveResult:
+    """Run the full warp-field solve for one frame; everything stays on device.
+
+    Matches reference sobfu::device::estimate_psi (solver.cu:85-205), with the
+    convergence check in the while_loop predicate instead of a host sync.
+    """
+    energy0 = jnp.zeros((energy_cap if record_energy else 1, 3), jnp.float32)
+
+    def gd_step(state: SolverState) -> SolverState:
+        psi, tsdf_n_psi = state.psi, state.tsdf_n_psi
+
+        grad = fields.tsdf_gradient(tsdf_n_psi)
+        lap = fields.neg_laplacian(psi)
+        dU = (tsdf_n_psi - tsdf_global)[None] * grad + w_reg * lap
+        dU_S = sobolev_smooth(dU, taps)
+
+        update = alpha * dU_S
+        psi_new = psi - update
+        tsdf_new = fields.sample_trilinear(tsdf_n, psi_new)
+
+        norm_sq = jnp.sum(update * update, axis=0)
+        mnorm = jnp.sqrt(jnp.max(norm_sq))
+
+        energy = state.energy
+        if record_energy:
+            e = jnp.stack(
+                [data_energy(tsdf_global, tsdf_n_psi), reg_energy_sobolev(psi), mnorm]
+            )
+            energy = jax.lax.dynamic_update_slice(
+                energy, e[None], (jnp.minimum(state.iter, energy_cap - 1), 0)
+            )
+
+        return SolverState(psi_new, tsdf_new, state.iter + 1, mnorm, energy)
+
+    def cond(state: SolverState) -> jnp.ndarray:
+        return (state.iter < max_iter) & (state.max_norm > max_update_norm_thresh)
+
+    tsdf_n_psi0 = fields.sample_trilinear(tsdf_n, psi)
+    init = SolverState(
+        psi, tsdf_n_psi0, jnp.int32(0), jnp.float32(jnp.inf), energy0
+    )
+    final = jax.lax.while_loop(cond, gd_step, init)
+
+    psi_inv = fields.estimate_inverse(final.psi, inverse_iters)
+    tsdf_g_inv, weight_g_inv = fields.warp_tsdf(tsdf_global, weight_global, psi_inv)
+    weight_n_psi = fields.sample_nearest_floor(weight_n, final.psi)
+
+    return SolveResult(
+        psi=final.psi,
+        psi_inv=psi_inv,
+        tsdf_n_psi=final.tsdf_n_psi,
+        weight_n_psi=weight_n_psi,
+        tsdf_global_psi_inv=tsdf_g_inv,
+        weight_global_psi_inv=weight_g_inv,
+        iters=final.iter,
+        max_norm=final.max_norm,
+        energy=final.energy,
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-facing Solver (parity with sobfu::cuda::Solver, solver.hpp:56-94)
+# ---------------------------------------------------------------------------
+
+
+class Solver:
+    def __init__(self, params: Params):
+        self.params = params
+        self.taps = jnp.asarray(sobolev_filter_1d(params.s, params.lambda_))
+        self.verbosity = params.verbosity
+
+    def estimate_psi(self, phi_global, phi_global_psi_inv, phi_n, phi_n_psi,
+                     psi, psi_inv) -> SolveResult:
+        """Run the solve; updates the passed volume/field wrappers in place.
+
+        Arguments mirror the reference call
+        (sob_fusion.cpp:141 -> solver.cpp:69-101).
+        """
+        p = self.params
+        record = self.verbosity > 0
+        res = estimate_psi(
+            psi.data,
+            phi_global.tsdf,
+            phi_global.weight,
+            phi_n.tsdf,
+            phi_n.weight,
+            self.taps,
+            jnp.float32(p.alpha),
+            jnp.float32(p.w_reg),
+            jnp.int32(p.max_iter),
+            jnp.float32(p.max_update_norm),
+            record_energy=record,
+            energy_cap=p.max_iter if record else 0,
+        )
+        psi.data = res.psi
+        psi_inv.data = res.psi_inv
+        phi_n_psi.tsdf = res.tsdf_n_psi
+        phi_n_psi.weight = res.weight_n_psi
+        phi_global_psi_inv.tsdf = res.tsdf_global_psi_inv
+        phi_global_psi_inv.weight = res.weight_global_psi_inv
+
+        if self.verbosity > 0:
+            iters = int(res.iters)
+            hist = np.asarray(res.energy)
+            stride = 1 if self.verbosity >= 2 else 50
+            for i in range(0, iters, stride):
+                e_data, e_reg, mnorm = hist[i]
+                print(
+                    f"iter. no. {i + 1}: data energy + w_reg * reg energy = "
+                    f"{e_data:.6f} + {p.w_reg} * {e_reg:.6f} = "
+                    f"{e_data + p.w_reg * e_reg:.6f}; max. update norm {mnorm:.3e}"
+                )
+            if float(res.max_norm) <= p.max_update_norm:
+                print(f"SOLVER CONVERGED AFTER {iters} ITERATIONS")
+            else:
+                print("SOLVER REACHED MAX. NO. OF ITERATIONS WITHOUT CONVERGING")
+        return res

@@ -1,0 +1,281 @@
+"""TSDF volumes: projective integration, volume fusion, analytic SDF inits.
+
+State is a pair of arrays ``tsdf: f32[Z,Y,X]`` (normalised to [-1, 1]) and
+``weight: f32[Z,Y,X]`` — the unpacked equivalent of the reference's flat
+float2 buffer (reference src/kfusion/tsdf_volume.cpp:34-41). Separate planes
+vectorise better on the TPU VPU than interleaved pairs.
+
+Functional core (pure, jit-friendly) + a thin stateful ``TsdfVolume`` wrapper
+mirroring the reference class surface (include/kfusion/cuda/tsdf_volume.hpp).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sobfu_tpu.config import Intr, Params
+
+
+# ---------------------------------------------------------------------------
+# geometry helpers
+# ---------------------------------------------------------------------------
+
+
+def voxel_centers(
+    dims_zyx: Tuple[int, int, int], voxel_sizes_xyz: Tuple[float, float, float]
+) -> jnp.ndarray:
+    """Metric coordinates of voxel centres -> f32[3,Z,Y,X], channels (x,y,z).
+
+    Centre of voxel (x,y,z) is ((x+.5)vsx, (y+.5)vsy, (z+.5)vsz)
+    (reference tsdf_volume.cu:70-74).
+    """
+    Z, Y, X = dims_zyx
+    vsx, vsy, vsz = voxel_sizes_xyz
+    zz, yy, xx = jnp.meshgrid(
+        (jnp.arange(Z, dtype=jnp.float32) + 0.5) * vsz,
+        (jnp.arange(Y, dtype=jnp.float32) + 0.5) * vsy,
+        (jnp.arange(X, dtype=jnp.float32) + 0.5) * vsx,
+        indexing="ij",
+    )
+    return jnp.stack([xx, yy, zz], axis=0)
+
+
+def _truncate(sdf: jnp.ndarray, trunc_dist: float) -> jnp.ndarray:
+    """Normalise a metric SDF into [-1, 1] by the truncation distance."""
+    return jnp.clip(sdf / trunc_dist, -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# integration
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("dims_zyx",))
+def integrate_dists(
+    tsdf: jnp.ndarray,
+    weight: jnp.ndarray,
+    dists: jnp.ndarray,
+    vol2cam: jnp.ndarray,
+    intr: jnp.ndarray,
+    voxel_sizes: jnp.ndarray,
+    trunc_dist: jnp.ndarray,
+    eta: jnp.ndarray,
+    dims_zyx: Tuple[int, int, int],
+    z_offset=0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Projective TSDF integration of a metric ray-length ('dists') map.
+
+    Per voxel (reference tsdf_volume.cu:62-101): transform the voxel centre
+    into camera coords, project with the pinhole model, read the dists map at
+    the floor pixel (point-sampled texture), then
+        psdf   = Dp - z_cam
+        weight = (psdf > -eta) ? 1 : 0
+        value  = clip(psdf / trunc_dist, -1, 1)
+    Voxels that project outside the image, see Dp <= 0, or have z_cam <= 0
+    keep their previous (tsdf, weight).
+
+    vol2cam: f32[4,4] affine (camera_pose^-1 @ volume_pose,
+    reference tsdf_volume.cpp:94-99). intr: f32[4] = (fx, fy, cx, cy).
+    z_offset: global z index of the first local slice (for z-sharded blocks).
+    """
+    H, W = dists.shape
+    vc = voxel_centers(dims_zyx, (voxel_sizes[0], voxel_sizes[1], voxel_sizes[2]))
+    vc = vc.at[2].add(jnp.asarray(z_offset, jnp.float32) * voxel_sizes[2])
+
+    R = vol2cam[:3, :3]
+    t = vol2cam[:3, 3]
+    cam = jnp.einsum("ij,jzyx->izyx", R, vc) + t[:, None, None, None]
+
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    u = fx * (cam[0] / cam[2]) + cx
+    v = fy * (cam[1] / cam[2]) + cy
+
+    in_image = (u >= 0) & (v >= 0) & (u < W) & (v < H)
+    ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
+    Dp = jnp.take(dists.reshape(-1), vi * W + ui)
+
+    valid = in_image & (Dp > 0.0) & (cam[2] > 0.0)
+
+    psdf = Dp - cam[2]
+    new_w = jnp.where(psdf > -eta, 1.0, 0.0)
+    new_t = _truncate(psdf, trunc_dist)
+
+    tsdf_out = jnp.where(valid, new_t, tsdf)
+    weight_out = jnp.where(valid, new_w, weight)
+    return tsdf_out, weight_out
+
+
+@jax.jit
+def fuse_volumes(
+    tsdf_g: jnp.ndarray,
+    weight_g: jnp.ndarray,
+    tsdf_n: jnp.ndarray,
+    weight_n: jnp.ndarray,
+    max_weight: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Running weighted average of a warped live volume into the global one.
+
+    Reference tsdf_volume.cu:103-130: skip voxels whose incoming weight is 0,
+    or whose weight is 1 with tsdf in {0, -1}; otherwise
+        t_new = (w_prev * t_prev + t) / (w_prev + 1)
+        w_new = min(w_prev + 1, max_weight)
+    """
+    skip = (weight_n == 0.0) | ((weight_n == 1.0) & ((tsdf_n == 0.0) | (tsdf_n == -1.0)))
+    t_new = (weight_g * tsdf_g + tsdf_n) / (weight_g + 1.0)
+    w_new = jnp.minimum(weight_g + 1.0, max_weight)
+    return jnp.where(skip, tsdf_g, t_new), jnp.where(skip, weight_g, w_new)
+
+
+# ---------------------------------------------------------------------------
+# analytic SDF initialisers (test/demo fixtures, reference tsdf_volume.cu:181-334)
+# ---------------------------------------------------------------------------
+
+
+def _centered_coords(dims_zyx, voxel_sizes_xyz):
+    Z, Y, X = dims_zyx
+    vsx, vsy, vsz = voxel_sizes_xyz
+    c = jnp.array(
+        [X / 2.0 * vsx, Y / 2.0 * vsy, Z / 2.0 * vsz], dtype=jnp.float32
+    )
+    return voxel_centers(dims_zyx, voxel_sizes_xyz) - c[:, None, None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("dims_zyx", "voxel_sizes_xyz"))
+def init_sphere(dims_zyx, voxel_sizes_xyz, centre_xyz, radius, trunc_dist, eta):
+    """SDF of a sphere; weight = (sdf > -eta) (reference tsdf_volume.cu:249-275)."""
+    vc = voxel_centers(dims_zyx, voxel_sizes_xyz)
+    c = jnp.asarray(centre_xyz, dtype=jnp.float32)
+    sdf = jnp.linalg.norm(vc - c[:, None, None, None], axis=0) - radius
+    return _truncate(sdf, trunc_dist), jnp.where(sdf > -eta, 1.0, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("dims_zyx", "voxel_sizes_xyz"))
+def init_box(dims_zyx, voxel_sizes_xyz, half_extent_xyz, trunc_dist):
+    """SDF of an axis-aligned box centred in the volume (tsdf_volume.cu:181-213)."""
+    vc = _centered_coords(dims_zyx, voxel_sizes_xyz)
+    b = jnp.asarray(half_extent_xyz, dtype=jnp.float32)
+    d = jnp.abs(vc) - b[:, None, None, None]
+    outside = jnp.linalg.norm(jnp.maximum(d, 0.0), axis=0)
+    inside = jnp.minimum(jnp.max(d, axis=0), 0.0)
+    sdf = inside + outside
+    return _truncate(sdf, trunc_dist), jnp.ones(dims_zyx, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("dims_zyx", "voxel_sizes_xyz"))
+def init_ellipsoid(dims_zyx, voxel_sizes_xyz, radii_xyz, trunc_dist):
+    """Approximate ellipsoid SDF (tsdf_volume.cu:215-247)."""
+    vc = _centered_coords(dims_zyx, voxel_sizes_xyz)
+    r = jnp.asarray(radii_xyz, dtype=jnp.float32)[:, None, None, None]
+    k0 = jnp.linalg.norm(vc / r, axis=0)
+    k1 = jnp.linalg.norm(vc / (r * r), axis=0)
+    sdf = k0 * (k0 - 1.0) / k1
+    return _truncate(sdf, trunc_dist), jnp.ones(dims_zyx, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("dims_zyx", "voxel_sizes_xyz"))
+def init_plane(dims_zyx, voxel_sizes_xyz, z_plane, trunc_dist):
+    """SDF of the plane z = z_plane, NOT centred (tsdf_volume.cu:277-301)."""
+    vc = voxel_centers(dims_zyx, voxel_sizes_xyz)
+    sdf = vc[2] - z_plane
+    return _truncate(sdf, trunc_dist), jnp.ones(dims_zyx, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("dims_zyx", "voxel_sizes_xyz"))
+def init_torus(dims_zyx, voxel_sizes_xyz, major_r, minor_r, trunc_dist):
+    """SDF of a torus in the x-z plane, centred (tsdf_volume.cu:303-334)."""
+    vc = _centered_coords(dims_zyx, voxel_sizes_xyz)
+    q = jnp.sqrt(vc[0] ** 2 + vc[2] ** 2) - major_r
+    sdf = jnp.sqrt(q * q + vc[1] ** 2) - minor_r
+    return _truncate(sdf, trunc_dist), jnp.ones(dims_zyx, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# stateful wrapper
+# ---------------------------------------------------------------------------
+
+
+class TsdfVolume:
+    """Parity surface with reference kfusion::cuda::TsdfVolume.
+
+    dims/size are (X, Y, Z)-ordered like the reference; arrays are [Z, Y, X].
+    """
+
+    def __init__(self, params: Params):
+        self.dims = tuple(int(d) for d in params.volume_dims)  # (X, Y, Z)
+        self.size = tuple(float(s) for s in params.volume_size)
+        self.pose = np.asarray(params.volume_pose, dtype=np.float32)
+        self.trunc_dist = float(params.tsdf_trunc_dist)
+        self.eta = float(params.eta)
+        self.max_weight = float(params.tsdf_max_weight)
+        self.gradient_delta_factor = float(params.gradient_delta_factor)
+        zyx = self.dims_zyx
+        self.tsdf = jnp.zeros(zyx, jnp.float32)
+        self.weight = jnp.zeros(zyx, jnp.float32)
+
+    # -- geometry ----------------------------------------------------------
+    @property
+    def dims_zyx(self) -> Tuple[int, int, int]:
+        return (self.dims[2], self.dims[1], self.dims[0])
+
+    def voxel_sizes(self) -> Tuple[float, float, float]:
+        return tuple(self.size[i] / self.dims[i] for i in range(3))
+
+    # -- ops -----------------------------------------------------------------
+    def clear(self) -> None:
+        self.tsdf = jnp.zeros(self.dims_zyx, jnp.float32)
+        self.weight = jnp.zeros(self.dims_zyx, jnp.float32)
+
+    def integrate(self, dists: jnp.ndarray, camera_pose: np.ndarray, intr: Intr) -> None:
+        """Depth-map (dists) integration; camera_pose is a 4x4 affine."""
+        vol2cam = np.linalg.inv(np.asarray(camera_pose, np.float32)) @ self.pose
+        self.tsdf, self.weight = integrate_dists(
+            self.tsdf,
+            self.weight,
+            dists,
+            jnp.asarray(vol2cam, jnp.float32),
+            jnp.asarray([intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32),
+            jnp.asarray(self.voxel_sizes(), jnp.float32),
+            jnp.float32(self.trunc_dist),
+            jnp.float32(self.eta),
+            self.dims_zyx,
+        )
+
+    def integrate_volume(self, other: "TsdfVolume") -> None:
+        """Fuse another (warped live) volume into this one."""
+        self.tsdf, self.weight = fuse_volumes(
+            self.tsdf, self.weight, other.tsdf, other.weight,
+            jnp.float32(self.max_weight),
+        )
+
+    # -- analytic inits ------------------------------------------------------
+    def init_sphere(self, centre_xyz, radius) -> None:
+        self.tsdf, self.weight = init_sphere(
+            self.dims_zyx, self.voxel_sizes(), centre_xyz, radius,
+            self.trunc_dist, self.eta,
+        )
+
+    def init_box(self, half_extent_xyz) -> None:
+        self.tsdf, self.weight = init_box(
+            self.dims_zyx, self.voxel_sizes(), half_extent_xyz, self.trunc_dist
+        )
+
+    def init_ellipsoid(self, radii_xyz) -> None:
+        self.tsdf, self.weight = init_ellipsoid(
+            self.dims_zyx, self.voxel_sizes(), radii_xyz, self.trunc_dist
+        )
+
+    def init_plane(self, z_plane) -> None:
+        self.tsdf, self.weight = init_plane(
+            self.dims_zyx, self.voxel_sizes(), z_plane, self.trunc_dist
+        )
+
+    def init_torus(self, major_r, minor_r) -> None:
+        self.tsdf, self.weight = init_torus(
+            self.dims_zyx, self.voxel_sizes(), major_r, minor_r, self.trunc_dist
+        )

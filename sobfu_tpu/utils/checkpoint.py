@@ -1,0 +1,53 @@
+"""Checkpoint / resume for a reconstruction run.
+
+The reference has NO checkpointing — state (phi_global, psi) lives only in
+GPU memory for the run (SURVEY.md §5). Here the full pipeline state
+serialises to a single .npz so a stream can resume mid-sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_checkpoint(path: str, fusion) -> None:
+    """Serialise a SobFusion pipeline's device state to `path` (.npz)."""
+    state = {
+        "frame_counter": np.asarray(fusion.frame_counter),
+        "poses": np.stack(fusion.poses, axis=0),
+    }
+    if fusion.phi_global is not None:
+        state["phi_global_tsdf"] = np.asarray(fusion.phi_global.tsdf)
+        state["phi_global_weight"] = np.asarray(fusion.phi_global.weight)
+        state["psi"] = np.asarray(fusion.psi.data)
+        state["psi_inv"] = np.asarray(fusion.psi_inv.data)
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **state)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, fusion) -> None:
+    """Restore a SobFusion pipeline's state in place from `path`."""
+    from sobfu_tpu.fields import DeformationField
+    from sobfu_tpu.tsdf import TsdfVolume
+    from sobfu_tpu import solver as solver_mod
+
+    data = np.load(path)
+    fusion.frame_counter = int(data["frame_counter"])
+    fusion.poses = [p for p in data["poses"]]
+    if "phi_global_tsdf" in data:
+        p = fusion.params
+        fusion.phi_global = TsdfVolume(p)
+        fusion.phi_global.tsdf = jnp.asarray(data["phi_global_tsdf"])
+        fusion.phi_global.weight = jnp.asarray(data["phi_global_weight"])
+        fusion.phi_global_psi_inv = TsdfVolume(p)
+        fusion.phi_n = TsdfVolume(p)
+        fusion.phi_n_psi = TsdfVolume(p)
+        fusion.psi = DeformationField(p.volume_dims, jnp.asarray(data["psi"]))
+        fusion.psi_inv = DeformationField(p.volume_dims, jnp.asarray(data["psi_inv"]))
+        fusion.solver = solver_mod.Solver(p)

@@ -1,0 +1,20 @@
+"""Test config: run everything on CPU with 8 virtual devices.
+
+The reference test suite required a physical CUDA GPU
+(/root/reference/test/CMakeLists.txt); the JAX rebuild runs the identical
+math on any backend, so CI tests use the CPU backend with a virtual
+8-device mesh to also exercise the sharded multi-chip paths.
+"""
+
+import os
+
+# Force CPU: the test suite must not touch the (single, shared) TPU tunnel.
+# The harness exports JAX_PLATFORMS=axon globally, so a hard override is
+# required, not setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,202 @@
+"""Solver tests: Sobolev filter, reductions, and convergence.
+
+The reference solver tests (test/solver_test.cpp) contain no assertions —
+they validate by converging. Here the same scenarios carry real assertions:
+the data energy must drop substantially and the estimated field must move
+the live surface onto the global one.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sobfu_tpu import fields, solver
+from sobfu_tpu.config import Params
+from sobfu_tpu.tsdf import TsdfVolume
+from sobfu_tpu.fields import DeformationField
+
+DIM = 32
+SIZE = 0.125  # keep voxel size equal to the reference 64/0.25 setup
+
+
+def make_params(**kw):
+    p = Params()
+    p.volume_dims = (DIM, DIM, DIM)
+    p.volume_size = (SIZE, SIZE, SIZE)
+    p.tsdf_trunc_dist = 10.0 * SIZE / DIM
+    p.eta = 2.0 * SIZE / DIM
+    p.s = 7
+    p.lambda_ = 0.1
+    p.max_iter = 128
+    p.max_update_norm = -1.0  # run all iterations
+    p.alpha = 0.01
+    p.w_reg = 0.4
+    for k, v in kw.items():
+        setattr(p, k, v)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Sobolev filter
+# ---------------------------------------------------------------------------
+
+
+def test_filter_table_unit_sum():
+    for (s, lam) in [(3, 0.1), (7, 0.05), (7, 0.1), (7, 0.2), (7, 0.4),
+                     (9, 0.05), (9, 0.1), (11, 0.1)]:
+        taps = solver.sobolev_filter_1d(s, lam)
+        assert taps.shape == (s,)
+        np.testing.assert_allclose(taps.sum(), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(taps, taps[::-1], rtol=1e-5)  # symmetric
+
+
+def test_principled_solve_reproduces_table():
+    """The (Id - lambda L) solve + rank-1 decomposition must reproduce the
+    published s=7, lambda=0.1 taps (validates both code paths)."""
+    S3 = solver.solve_sobolev_filter_3d(7, 0.1)
+    taps = solver.decompose_filter_1d(S3)
+    published = np.asarray([0.00030, 0.00441, 0.06571, 0.99565, 0.06571, 0.00441, 0.00030])
+    np.testing.assert_allclose(taps, published, atol=2e-4)
+
+
+def test_filter_fallback_for_unlisted_params():
+    taps = solver.sobolev_filter_1d(5, 0.15)  # not in the table
+    assert taps.shape == (5,)
+    np.testing.assert_allclose(taps.sum(), 1.0, rtol=1e-6)
+    assert taps[2] == taps.max()
+
+
+# ---------------------------------------------------------------------------
+# reductions (ports of test/reductions_test.cpp:86-101)
+# ---------------------------------------------------------------------------
+
+
+def test_data_energy_of_unit_difference():
+    n = 16
+    ones = jnp.ones((n, n, n), jnp.float32)
+    zeros = jnp.zeros((n, n, n), jnp.float32)
+    e = float(solver.data_energy(ones, zeros))
+    np.testing.assert_allclose(e, 0.5 * n**3, rtol=1e-5)
+
+
+def test_reg_energy_of_identity_is_zero():
+    psi = fields.identity_field((8, 8, 8))
+    assert float(solver.reg_energy_sobolev(psi)) == 0.0
+
+
+def test_max_update_norm():
+    upd = jnp.zeros((3, 4, 4, 4), jnp.float32)
+    upd = upd.at[:, 2, 1, 3].set(jnp.asarray([3.0, 4.0, 0.0]))
+    mx, idx = solver.max_update_norm(upd)
+    assert float(mx) == 5.0
+    assert int(idx) == (2 * 4 + 1) * 4 + 3
+
+
+# ---------------------------------------------------------------------------
+# convergence (solver_test.cpp:109-208 with real assertions)
+# ---------------------------------------------------------------------------
+
+
+def _solve(p, phi_global, phi_n, psi=None):
+    s = solver.Solver(p)
+    phi_global_psi_inv = TsdfVolume(p)
+    phi_n_psi = TsdfVolume(p)
+    phi_n_psi.tsdf = phi_n.tsdf
+    phi_n_psi.weight = phi_n.weight
+    psi = psi or DeformationField(p.volume_dims)
+    psi_inv = DeformationField(p.volume_dims)
+    res = s.estimate_psi(phi_global, phi_global_psi_inv, phi_n, phi_n_psi, psi, psi_inv)
+    return res, psi, psi_inv, phi_n_psi, phi_global_psi_inv
+
+
+def test_alignment_sphere_translation():
+    """Gradient descent is slow by design (the reference runs 2048-8192
+    iterations); with alpha=0.1 and 256 iterations the warped live surface
+    must land on the global one and the energy must drop substantially."""
+    p = make_params(alpha=0.1, w_reg=0.4, max_iter=256)
+    c = (0.065, 0.065, 0.065)
+    r = 0.01
+    phi_global = TsdfVolume(p)
+    phi_global.init_sphere(c, r)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((0.0625, 0.065, 0.065), r)
+
+    e0 = float(solver.data_energy(phi_global.tsdf, phi_n.tsdf))
+    res, psi, psi_inv, phi_n_psi, _ = _solve(p, phi_global, phi_n)
+    e1 = float(solver.data_energy(phi_global.tsdf, phi_n_psi.tsdf))
+
+    assert np.isfinite(e1)
+    assert e1 < 0.75 * e0, (e0, e1)
+
+    # displacement must point from the global sphere toward the live one (-x)
+    d = np.asarray(fields.displacement(psi.data))
+    band = np.abs(np.asarray(phi_global.tsdf)) < 0.9
+    assert d[0][band].mean() < -0.02
+
+    # zero crossings along x through the centre must now coincide
+    ci = DIM // 2
+    def crossings(t):
+        col = np.asarray(t)[ci, ci, :]
+        return np.where(np.diff(np.sign(col)) != 0)[0].tolist()
+    assert crossings(phi_n_psi.tsdf) == crossings(phi_global.tsdf)
+
+    # psi and its inverse roughly cancel in the interior
+    comp = fields.sample_field_trilinear(fields.displacement(psi.data), psi_inv.data) \
+        + fields.displacement(psi_inv.data)
+    inner = np.asarray(comp)[:, 4:-4, 4:-4, 4:-4]
+    assert np.abs(inner).max() < 0.5  # voxel units
+
+
+def test_alignment_sphere_expanding():
+    p = make_params(alpha=0.05, w_reg=0.4, max_iter=256)
+    phi_global = TsdfVolume(p)
+    phi_global.init_sphere((0.065, 0.065, 0.065), 0.01)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((0.0625, 0.065, 0.065), 0.0125)
+
+    e0 = float(solver.data_energy(phi_global.tsdf, phi_n.tsdf))
+    _, _, _, phi_n_psi, _ = _solve(p, phi_global, phi_n)
+    e1 = float(solver.data_energy(phi_global.tsdf, phi_n_psi.tsdf))
+    assert e1 < 0.8 * e0, (e0, e1)
+
+
+def test_serial_alignment_reuses_psi():
+    p = make_params(alpha=0.05, w_reg=0.4, max_iter=128)
+    c0, r = (0.065, 0.065, 0.065), 0.01
+    phi_global = TsdfVolume(p)
+    phi_global.init_sphere(c0, r)
+
+    # frame 1
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((0.0625, 0.065, 0.066), r)
+    _, psi, _, phi_n_psi, _ = _solve(p, phi_global, phi_n)
+    e1 = float(solver.data_energy(phi_global.tsdf, phi_n_psi.tsdf))
+
+    # frame 2 reuses psi as warm start (solver_test.cpp:162-208)
+    phi_n2 = TsdfVolume(p)
+    phi_n2.init_sphere((0.0615, 0.065, 0.066), r)
+    e0_2 = float(solver.data_energy(phi_global.tsdf, phi_n2.tsdf))
+    _, psi, _, phi_n2_psi, _ = _solve(p, phi_global, phi_n2, psi=psi)
+    e2 = float(solver.data_energy(phi_global.tsdf, phi_n2_psi.tsdf))
+    assert e2 < 0.9 * e0_2, (e0_2, e2)
+    assert np.isfinite(e1) and np.isfinite(e2)
+
+
+def test_convergence_criterion_stops_early():
+    p = make_params(max_iter=256, max_update_norm=1e-2, alpha=0.01)
+    phi_global = TsdfVolume(p)
+    phi_global.init_sphere((0.065, 0.065, 0.065), 0.006)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((0.0645, 0.065, 0.065), 0.006)  # tiny shift
+    res, *_ = _solve(p, phi_global, phi_n)
+    assert int(res.iters) < 256
+    assert float(res.max_norm) <= 1e-2
+
+
+def test_identity_inputs_give_zero_updates():
+    """phi_n == phi_global: gradient of the data term vanishes, psi stays id."""
+    p = make_params(max_iter=8, w_reg=0.1)
+    phi = TsdfVolume(p)
+    phi.init_sphere((0.065, 0.065, 0.065), 0.01)
+    res, psi, *_ = _solve(p, phi, phi)
+    disp = np.asarray(fields.displacement(psi.data))
+    assert np.abs(disp).max() < 1e-4
