@@ -2,8 +2,14 @@
 
 from sobfu_tpu.parallel.sharding import (
     make_mesh,
+    make_sharded_estimate_psi,
     estimate_psi_sharded,
-    frame_step_sharded,
+    make_frame_step,
 )
 
-__all__ = ["make_mesh", "estimate_psi_sharded", "frame_step_sharded"]
+__all__ = [
+    "make_mesh",
+    "make_sharded_estimate_psi",
+    "estimate_psi_sharded",
+    "make_frame_step",
+]

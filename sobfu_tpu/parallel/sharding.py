@@ -229,7 +229,7 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48):
 
         return psi_l, psi_inv_l, tnp_l, wnp_l, tgi_l, wgi_l, iters, mnorm
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mapped = shard_map(
         local_solve,
@@ -276,7 +276,7 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
       -> (psi_b, psi_inv_b, tg_b, wg_b, iters_b, mnorm_b)
     with psi_b f32[S,3,Z,Y,X], volumes f32[S,Z,Y,X], dists f32[S,H,W].
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from sobfu_tpu.tsdf import integrate_dists, fuse_volumes
 
     axis = "z"
