@@ -41,10 +41,11 @@ def time_solve(dim: int, iters: int, warmup: int = 1, reps: int = 3) -> float:
 
     tg, wg = init_sphere(dims, (vs, vs, vs), (0.5, 0.5, 0.5), 0.2, trunc, eta)
     tn, wn = init_sphere(dims, (vs, vs, vs), (0.48, 0.5, 0.5), 0.2, trunc, eta)
-    psi = fields.identity_field(dims)
     taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
 
     def run():
+        # fresh psi each run: estimate_psi donates its psi argument
+        psi = fields.identity_field(dims)
         res = solver.estimate_psi(
             psi, tg, wg, tn, wn, taps,
             jnp.float32(0.05), jnp.float32(0.2),
@@ -55,7 +56,10 @@ def time_solve(dim: int, iters: int, warmup: int = 1, reps: int = 3) -> float:
         return res
 
     for _ in range(warmup):
-        run()
+        res = run()
+        # materialise a scalar: surfaces device faults that async dispatch
+        # would otherwise hide, and guards against bogus timings
+        assert np.isfinite(float(res.max_norm)), "solver produced non-finite norm"
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
