@@ -81,6 +81,10 @@ class Params:
     alpha: float = 0.001
     w_reg: float = 0.2
 
+    # TPU extension (no reference counterpart): bounded-window warp half-width
+    # in voxels for the gather-free trilinear sampler; None = exact gather.
+    warp_window: "int | None" = None
+
     def voxel_sizes(self) -> Tuple[float, float, float]:
         return (
             self.volume_size[0] / self.volume_dims[0],

@@ -170,10 +170,13 @@ def sobolev_smooth(dU: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+# NOTE: no donate_argnums — input-buffer donation deadlocks through the
+# axon PJRT tunnel used on single-chip TPU pools (verified empirically:
+# identical code with donate_argnums=(0,) never returns from its first
+# compile). psi is 3 floats/voxel; the copy is cheap relative to the solve.
 @functools.partial(
     jax.jit,
-    static_argnames=("record_energy", "energy_cap", "inverse_iters"),
-    donate_argnums=(0,),
+    static_argnames=("record_energy", "energy_cap", "inverse_iters", "warp_window"),
 )
 def estimate_psi(
     psi: jnp.ndarray,
@@ -190,13 +193,36 @@ def estimate_psi(
     record_energy: bool = False,
     energy_cap: int = 0,
     inverse_iters: int = 48,
+    warp_window: Optional[int] = None,
 ) -> SolveResult:
     """Run the full warp-field solve for one frame; everything stays on device.
 
     Matches reference sobfu::device::estimate_psi (solver.cu:85-205), with the
     convergence check in the while_loop predicate instead of a host sync.
+
+    warp_window: when set, all trilinear warps use the gather-free
+    bounded-window sampler (:func:`sobfu_tpu.fields.sample_trilinear_window`)
+    with this half-width in voxels — the TPU-fast path, exact as long as the
+    deformation magnitude stays below the window. None = exact XLA gather.
     """
     energy0 = jnp.zeros((energy_cap if record_energy else 1, 3), jnp.float32)
+
+    if warp_window is None:
+        warp_scalar = fields.sample_trilinear
+        warp_floor = fields.sample_nearest_floor
+        inverse = functools.partial(fields.estimate_inverse, iters=inverse_iters)
+    else:
+        warp_scalar = functools.partial(
+            fields.sample_trilinear_window, max_disp=warp_window
+        )
+        warp_floor = functools.partial(
+            fields.sample_nearest_floor_window, max_disp=warp_window
+        )
+        inverse = functools.partial(
+            fields.estimate_inverse_window,
+            iters=inverse_iters,
+            max_disp=warp_window,
+        )
 
     def gd_step(state: SolverState) -> SolverState:
         psi, tsdf_n_psi = state.psi, state.tsdf_n_psi
@@ -208,7 +234,7 @@ def estimate_psi(
 
         update = alpha * dU_S
         psi_new = psi - update
-        tsdf_new = fields.sample_trilinear(tsdf_n, psi_new)
+        tsdf_new = warp_scalar(tsdf_n, psi_new)
 
         norm_sq = jnp.sum(update * update, axis=0)
         mnorm = jnp.sqrt(jnp.max(norm_sq))
@@ -227,15 +253,16 @@ def estimate_psi(
     def cond(state: SolverState) -> jnp.ndarray:
         return (state.iter < max_iter) & (state.max_norm > max_update_norm_thresh)
 
-    tsdf_n_psi0 = fields.sample_trilinear(tsdf_n, psi)
+    tsdf_n_psi0 = warp_scalar(tsdf_n, psi)
     init = SolverState(
         psi, tsdf_n_psi0, jnp.int32(0), jnp.float32(jnp.inf), energy0
     )
     final = jax.lax.while_loop(cond, gd_step, init)
 
-    psi_inv = fields.estimate_inverse(final.psi, inverse_iters)
-    tsdf_g_inv, weight_g_inv = fields.warp_tsdf(tsdf_global, weight_global, psi_inv)
-    weight_n_psi = fields.sample_nearest_floor(weight_n, final.psi)
+    psi_inv = inverse(final.psi)
+    tsdf_g_inv = warp_scalar(tsdf_global, psi_inv)
+    weight_g_inv = warp_floor(weight_global, psi_inv)
+    weight_n_psi = warp_floor(weight_n, final.psi)
 
     return SolveResult(
         psi=final.psi,
@@ -260,6 +287,7 @@ class Solver:
         self.params = params
         self.taps = jnp.asarray(sobolev_filter_1d(params.s, params.lambda_))
         self.verbosity = params.verbosity
+        self.warp_window = getattr(params, "warp_window", None)
 
     def estimate_psi(self, phi_global, phi_global_psi_inv, phi_n, phi_n_psi,
                      psi, psi_inv) -> SolveResult:
@@ -283,6 +311,7 @@ class Solver:
             jnp.float32(p.max_update_norm),
             record_energy=record,
             energy_cap=p.max_iter if record else 0,
+            warp_window=self.warp_window,
         )
         psi.data = res.psi
         psi_inv.data = res.psi_inv

@@ -200,3 +200,35 @@ def test_identity_inputs_give_zero_updates():
     res, psi, *_ = _solve(p, phi, phi)
     disp = np.asarray(fields.displacement(psi.data))
     assert np.abs(disp).max() < 1e-4
+
+
+def test_window_warp_solver_matches_exact():
+    """The gather-free bounded-window warp path must reproduce the exact
+    solve when displacements stay inside the window."""
+    p = make_params(alpha=0.1, w_reg=0.4, max_iter=64)
+    phi_global = TsdfVolume(p)
+    phi_global.init_sphere((0.065, 0.065, 0.065), 0.01)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((0.0625, 0.065, 0.065), 0.01)
+    taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
+
+    def run(window):
+        psi = fields.identity_field((DIM, DIM, DIM))
+        return solver.estimate_psi(
+            psi, phi_global.tsdf, phi_global.weight, phi_n.tsdf, phi_n.weight,
+            taps, jnp.float32(p.alpha), jnp.float32(p.w_reg),
+            jnp.int32(p.max_iter), jnp.float32(-1.0),
+            inverse_iters=8, warp_window=window,
+        )
+
+    exact = run(None)
+    windowed = run(4)
+    np.testing.assert_allclose(
+        np.asarray(windowed.psi), np.asarray(exact.psi), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(windowed.tsdf_n_psi), np.asarray(exact.tsdf_n_psi), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(windowed.psi_inv), np.asarray(exact.psi_inv), atol=1e-3
+    )
