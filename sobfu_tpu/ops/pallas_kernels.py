@@ -1,0 +1,312 @@
+"""Pallas TPU kernels for the solver hot loop.
+
+The reference executes ~10 CUDA kernel launches per gradient-descent
+iteration, each streaming the full voxel grid through HBM
+(src/sobfu/cuda/solver.cu:114-193). Pure-XLA fusion already collapses the
+elementwise chains, but the intermediate fields (gradient, Laplacian,
+potential gradient, three convolution passes, warp) still cost multiple
+HBM round-trips per iteration.
+
+:func:`fused_gd_step` is ONE Pallas kernel that performs an entire solver
+iteration per (z, y)-tile while everything lives in VMEM:
+
+    grad   = central-difference gradient of tnp        (vector_fields.cu:157-208)
+    lap    = negated 6-neighbour Laplacian of psi      (vector_fields.cu:291-337)
+    dU     = (tnp - tg) * grad + w_reg * lap           (solver.cu:15-47)
+    dU_S   = conv_x(dU) + conv_y(dU) + conv_z(dU)      (solver.cu:237-459)
+    psi'   = psi - alpha * dU_S                        (solver.cu:53-68)
+    tnp'   = trilinear warp of the live tsdf at psi'   (vector_fields.cu:81-100)
+    norm2  = per-tile max of ||alpha * dU_S||^2        (reductor.cu:342-455)
+
+HBM traffic per iteration is exactly: read psi(3) + tnp(1) + tg(1) +
+live(1), write psi'(3) + tnp'(1) — 10 volume passes, the information-
+theoretic minimum for this update, vs ~30+ for the unfused op chain.
+
+The warp uses the bounded-window formulation (see
+``fields.sample_trilinear_window``): a sum of static shifts weighted by
+per-axis hat functions, exact while each displacement component stays
+within ``K`` voxels (window saturates beyond). TPUs have no gather texture
+hardware — this turns the reference's texture fetches into pure VPU FMAs.
+
+Halo handling: inputs are edge-padded in z and y OUTSIDE the kernel (an
+XLA pad is one cheap copy), so tile loads are static-size dynamic-start
+DMAs and all z/y shifts become static slices of VMEM scratch. The x axis
+(lanes) is kept whole in every tile; x shifts are roll + edge fix-up.
+Stencil zero-at-boundary rules are enforced with global-index masks,
+matching the reference differentiators exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# fixed halo for the derivative+convolution reads: stencil radius 1 +
+# max supported convolution radius 3 (tap count <= 7)
+_H = 4
+
+
+def _shift_x_edge(a: jnp.ndarray, o: int, X: int) -> jnp.ndarray:
+    """a[..., x + o] with edge clamping along the lane axis."""
+    if o == 0:
+        return a
+    rolled = pltpu.roll(a, (-o) % a.shape[-1], axis=a.ndim - 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    if o > 0:
+        edge = jax.lax.slice_in_dim(a, X - 1, X, axis=a.ndim - 1)
+        return jnp.where(xx >= X - o, edge, rolled)
+    edge = jax.lax.slice_in_dim(a, 0, 1, axis=a.ndim - 1)
+    return jnp.where(xx < -o, edge, rolled)
+
+
+def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
+    """Build the fused GD-step kernel body for static tile geometry."""
+    KZ = K + 2  # live-volume halo (window reach K+1, +1 margin)
+    R = n_taps // 2
+    DZ = BZ + 2 * R  # dU z-rows (output rows + conv halo)
+    DY = TY + 2 * R
+
+    def kernel(
+        scal_ref,  # SMEM f32[2]: alpha, w_reg
+        psi_ref,  # ANY f32[3, Z+2H, Y+2H, X]
+        tnp_ref,  # ANY f32[Z+2H, Y+2H, X]
+        tg_ref,  # ANY f32[Z+2H, Y+2H, X]
+        live_ref,  # ANY f32[Z+2KZ, Y+2KZ, X]
+        psi_out,  # VMEM f32[3, BZ, TY, X]
+        tnp_out,  # VMEM f32[BZ, TY, X]
+        mx_out,  # SMEM f32[1, 1]
+        s_psi,
+        s_tnp,
+        s_tg,
+        s_live,
+        sems,
+    ):
+        iz = pl.program_id(0)
+        iy = pl.program_id(1)
+        z0 = iz * BZ
+        y0 = iy * TY
+        alpha = scal_ref[0]
+        w_reg = scal_ref[1]
+
+        cp_psi = pltpu.make_async_copy(
+            psi_ref.at[:, pl.ds(z0, BZ + 2 * _H), pl.ds(y0, TY + 2 * _H), :],
+            s_psi,
+            sems.at[0],
+        )
+        cp_tnp = pltpu.make_async_copy(
+            tnp_ref.at[pl.ds(z0, BZ + 2 * _H), pl.ds(y0, TY + 2 * _H), :],
+            s_tnp,
+            sems.at[1],
+        )
+        cp_tg = pltpu.make_async_copy(
+            tg_ref.at[pl.ds(z0, BZ + 2 * _H), pl.ds(y0, TY + 2 * _H), :],
+            s_tg,
+            sems.at[2],
+        )
+        cp_live = pltpu.make_async_copy(
+            live_ref.at[pl.ds(z0, BZ + 2 * KZ), pl.ds(y0, TY + 2 * KZ), :],
+            s_live,
+            sems.at[3],
+        )
+        cp_psi.start()
+        cp_tnp.start()
+        cp_tg.start()
+        cp_live.start()
+        cp_psi.wait()
+        cp_tnp.wait()
+        cp_tg.wait()
+        cp_live.wait()
+
+        # ---- global-position masks for the boundary-vanishing stencils ----
+        # dU rows cover global z in [z0 - R, z0 + BZ + R), y likewise.
+        shape_d = (DZ, DY, X)
+        gz = jax.lax.broadcasted_iota(jnp.int32, shape_d, 0) + (z0 - R)
+        gy = jax.lax.broadcasted_iota(jnp.int32, shape_d, 1) + (y0 - R)
+        gx = jax.lax.broadcasted_iota(jnp.int32, shape_d, 2)
+        # clamp to the volume (padded rows replicate the boundary voxel,
+        # whose stencil is also zero)
+        gz = jnp.clip(gz, 0, Z - 1)
+        gy = jnp.clip(gy, 0, Y - 1)
+        mz = ((gz > 0) & (gz < Z - 1)).astype(jnp.float32)
+        my = ((gy > 0) & (gy < Y - 1)).astype(jnp.float32)
+        mx = ((gx > 0) & (gx < X - 1)).astype(jnp.float32)
+
+        # ---- tnp / tg views over the dU row range ----
+        # scratch index: padded global row g  <->  s[g - z0 + H]
+        o = _H - R  # scratch offset of the first dU row
+        t_c = s_tnp[pl.ds(o, DZ), pl.ds(o, DY), :]
+        tg_c = s_tg[pl.ds(o, DZ), pl.ds(o, DY), :]
+        diff = t_c - tg_c
+
+        gx_c = (_shift_x_edge(t_c, 1, X) - _shift_x_edge(t_c, -1, X)) * 0.5 * mx
+        gy_c = (
+            s_tnp[pl.ds(o, DZ), pl.ds(o + 1, DY), :]
+            - s_tnp[pl.ds(o, DZ), pl.ds(o - 1, DY), :]
+        ) * 0.5 * my
+        gz_c = (
+            s_tnp[pl.ds(o + 1, DZ), pl.ds(o, DY), :]
+            - s_tnp[pl.ds(o - 1, DZ), pl.ds(o, DY), :]
+        ) * 0.5 * mz
+
+        update_sq = None
+        for c in range(3):
+            p_c = s_psi[c, pl.ds(o, DZ), pl.ds(o, DY), :]
+            lap_x = (
+                _shift_x_edge(p_c, 1, X) + _shift_x_edge(p_c, -1, X) - 2.0 * p_c
+            ) * mx
+            lap_y = (
+                s_psi[c, pl.ds(o, DZ), pl.ds(o + 1, DY), :]
+                + s_psi[c, pl.ds(o, DZ), pl.ds(o - 1, DY), :]
+                - 2.0 * p_c
+            ) * my
+            lap_z = (
+                s_psi[c, pl.ds(o + 1, DZ), pl.ds(o, DY), :]
+                + s_psi[c, pl.ds(o - 1, DZ), pl.ds(o, DY), :]
+                - 2.0 * p_c
+            ) * mz
+            neg_lap = -(lap_x + lap_y + lap_z)
+
+            grad_c = (gx_c, gy_c, gz_c)[c]
+            dU = diff * grad_c + w_reg * neg_lap  # [DZ, DY, X]
+
+            # ---- Sobolev smoothing: sum of three 1-D convolutions ----
+            # x: edge-clamped lane shifts on the output row range
+            dU_ctr = dU[R:R + BZ, R:R + TY, :]
+            acc = jnp.zeros((BZ, TY, X), jnp.float32)
+            for k in range(n_taps):
+                sx = k - R
+                acc = acc + taps[k] * _shift_x_edge(dU_ctr, sx, X)
+            # y: static slices of the extended dU block
+            for k in range(n_taps):
+                acc = acc + taps[k] * dU[R:R + BZ, k:k + TY, :]
+            # z
+            for k in range(n_taps):
+                acc = acc + taps[k] * dU[k:k + BZ, R:R + TY, :]
+
+            upd = alpha * acc
+            psi_out[c] = s_psi[c, pl.ds(_H, BZ), pl.ds(_H, TY), :] - upd
+            update_sq = upd * upd if update_sq is None else update_sq + upd * upd
+
+        mx_out[0, 0] = jnp.max(update_sq)
+
+        # ---- bounded-window trilinear warp of the live tsdf at psi' ----
+        px = psi_out[0]
+        py = psi_out[1]
+        pz = psi_out[2]
+        shape_o = (BZ, TY, X)
+        vx = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2).astype(jnp.float32)
+        vy = (
+            jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) + y0
+        ).astype(jnp.float32)
+        vz = (
+            jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0
+        ).astype(jnp.float32)
+        dx = jnp.clip(jnp.clip(px, 0.0, X - 1) - vx, -K, K + 1)
+        dy = jnp.clip(jnp.clip(py, 0.0, Y - 1) - vy, -K, K + 1)
+        dz = jnp.clip(jnp.clip(pz, 0.0, Z - 1) - vz, -K, K + 1)
+
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - ox)) for ox in range(-K, K + 2)]
+        wys = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy)) for oy in range(-K, K + 2)]
+        wzs = [jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz)) for oz in range(-K, K + 2)]
+
+        out = jnp.zeros(shape_o, jnp.float32)
+        for izo, oz in enumerate(range(-K, K + 2)):
+            # live scratch: padded global row g <-> s_live[g - z0 + KZ]
+            acc_y = jnp.zeros(shape_o, jnp.float32)
+            for iyo, oy in enumerate(range(-K, K + 2)):
+                lzy = s_live[pl.ds(KZ + oz, BZ), pl.ds(KZ + oy, TY), :]
+                acc_x = jnp.zeros(shape_o, jnp.float32)
+                for ixo, ox in enumerate(range(-K, K + 2)):
+                    acc_x = acc_x + wxs[ixo] * _shift_x_edge(lzy, ox, X)
+                acc_y = acc_y + wys[iyo] * acc_x
+            out = out + wzs[izo] * acc_y
+        tnp_out[:] = out
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "BZ", "TY", "taps_static", "interpret"),
+)
+def fused_gd_step(
+    psi: jnp.ndarray,  # f32[3, Z, Y, X]
+    tnp: jnp.ndarray,  # f32[Z, Y, X]
+    tg: jnp.ndarray,  # f32[Z, Y, X]
+    live: jnp.ndarray,  # f32[Z, Y, X]
+    alpha: jnp.ndarray,
+    w_reg: jnp.ndarray,
+    taps_static: Tuple[float, ...],
+    K: int = 3,
+    BZ: int = 8,
+    TY: int = 0,
+    interpret: bool = False,
+):
+    """One fused solver iteration. Returns (psi', tnp', max||update||^2).
+
+    taps_static: the 1-D Sobolev filter as a static tuple (odd length <= 9).
+    K: warp window half-width in voxels. BZ/TY: tile rows in z/y (TY=0 means
+    the full Y extent). Shapes must tile evenly.
+    """
+    Z, Y, X = tnp.shape
+    if TY == 0 or TY > Y:
+        TY = Y
+    assert Z % BZ == 0 and Y % TY == 0, (Z, BZ, Y, TY)
+    n_taps = len(taps_static)
+    assert n_taps % 2 == 1 and n_taps <= 2 * _H - 1
+    KZ = K + 2
+
+    pad_h = [(0, 0), (_H, _H), (_H, _H), (0, 0)]
+    psi_pad = jnp.pad(psi, pad_h, mode="edge")
+    tnp_pad = jnp.pad(tnp, pad_h[1:], mode="edge")
+    tg_pad = jnp.pad(tg, pad_h[1:], mode="edge")
+    live_pad = jnp.pad(live, [(KZ, KZ), (KZ, KZ), (0, 0)], mode="edge")
+
+    grid = (Z // BZ, Y // TY)
+    kernel = _make_kernel(BZ, TY, Z, Y, X, K, taps_static, n_taps)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
+        jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+        jax.ShapeDtypeStruct(grid, jnp.float32),
+    )
+    scal = jnp.stack([alpha.astype(jnp.float32), w_reg.astype(jnp.float32)])
+
+    psi_new, tnp_new, mx_tiles = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (3, BZ, TY, X), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BZ, TY, X), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((3, BZ + 2 * _H, TY + 2 * _H, X), jnp.float32),
+            pltpu.VMEM((BZ + 2 * _H, TY + 2 * _H, X), jnp.float32),
+            pltpu.VMEM((BZ + 2 * _H, TY + 2 * _H, X), jnp.float32),
+            pltpu.VMEM((BZ + 2 * KZ, TY + 2 * KZ, X), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(scal, psi_pad, tnp_pad, tg_pad, live_pad)
+
+    return psi_new, tnp_new, jnp.max(mx_tiles)
