@@ -28,7 +28,19 @@ from sobfu_tpu.mc import Mesh
 
 
 def load_depth(path: str) -> np.ndarray:
-    """Load a 16-bit depth PNG (mm) -> uint16 [H, W]."""
+    """Load a 16-bit depth PNG (mm) -> uint16 [H, W].
+
+    Uses the native libpng decoder (sobfu_tpu.native) when built; falls
+    back to PIL.
+    """
+    if path.lower().endswith(".png"):
+        try:
+            from sobfu_tpu import native
+
+            if native.available():
+                return native.decode_depth(path)
+        except Exception:
+            pass
     from PIL import Image
 
     img = Image.open(path)
@@ -99,6 +111,15 @@ def save_mesh_vtk(mesh: Mesh, path: str, binary: bool = False) -> None:
     reference (demo.cpp:237-246): POINTS + POLYGONS sections.
     """
     v = np.asarray(mesh.vertices, dtype=np.float32)
+    if not binary:
+        try:
+            from sobfu_tpu import native
+
+            if native.available():
+                native.write_mesh_vtk(path, v)
+                return
+        except Exception:
+            pass
     n_pts = v.shape[0]
     n_tri = n_pts // 3
     polys = np.arange(n_pts, dtype=np.int32).reshape(-1, 3)

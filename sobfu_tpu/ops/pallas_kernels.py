@@ -81,7 +81,7 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
         live_ref,  # ANY f32[Z+2KZ, Y+2KZ, X]
         psi_out,  # VMEM f32[3, BZ, TY, X]
         tnp_out,  # VMEM f32[BZ, TY, X]
-        mx_out,  # SMEM f32[1, 1]
+        mx_out,  # VMEM f32[1, 1, 1, 128] (per-tile max, lane-broadcast)
         s_psi,
         s_tnp,
         s_tg,
@@ -194,7 +194,7 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
             psi_out[c] = s_psi[c, pl.ds(_H, BZ), pl.ds(_H, TY), :] - upd
             update_sq = upd * upd if update_sq is None else update_sq + upd * upd
 
-        mx_out[0, 0] = jnp.max(update_sq)
+        mx_out[:] = jnp.full((1, 1, 1, 128), jnp.max(update_sq), jnp.float32)
 
         # ---- bounded-window trilinear warp of the live tsdf at psi' ----
         px = psi_out[0]
@@ -275,7 +275,7 @@ def fused_gd_step(
     out_shapes = (
         jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
         jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
-        jax.ShapeDtypeStruct(grid, jnp.float32),
+        jax.ShapeDtypeStruct(grid + (1, 128), jnp.float32),
     )
     scal = jnp.stack([alpha.astype(jnp.float32), w_reg.astype(jnp.float32)])
 
@@ -296,7 +296,9 @@ def fused_gd_step(
             pl.BlockSpec(
                 (BZ, TY, X), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, 1, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            ),
         ),
         out_shape=out_shapes,
         scratch_shapes=[
