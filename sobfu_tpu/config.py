@@ -81,9 +81,12 @@ class Params:
     alpha: float = 0.001
     w_reg: float = 0.2
 
-    # TPU extension (no reference counterpart): bounded-window warp half-width
-    # in voxels for the gather-free trilinear sampler; None = exact gather.
+    # TPU extensions (no reference counterpart):
+    # bounded-window warp half-width in voxels for the gather-free trilinear
+    # sampler; None = exact gather.
     warp_window: "int | None" = None
+    # fused Pallas solver iterations; None = auto (on for TPU + warp_window).
+    use_pallas: "bool | None" = None
 
     def voxel_sizes(self) -> Tuple[float, float, float]:
         return (

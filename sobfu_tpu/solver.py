@@ -176,7 +176,16 @@ def sobolev_smooth(dU: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
 # compile). psi is 3 floats/voxel; the copy is cheap relative to the solve.
 @functools.partial(
     jax.jit,
-    static_argnames=("record_energy", "energy_cap", "inverse_iters", "warp_window"),
+    static_argnames=(
+        "record_energy",
+        "energy_cap",
+        "inverse_iters",
+        "warp_window",
+        "use_pallas",
+        "pallas_block_z",
+        "pallas_tile_y",
+        "taps_static",
+    ),
 )
 def estimate_psi(
     psi: jnp.ndarray,
@@ -194,6 +203,10 @@ def estimate_psi(
     energy_cap: int = 0,
     inverse_iters: int = 48,
     warp_window: Optional[int] = None,
+    use_pallas: bool = False,
+    pallas_block_z: int = 8,
+    pallas_tile_y: int = 0,
+    taps_static: Optional[Tuple[float, ...]] = None,
 ) -> SolveResult:
     """Run the full warp-field solve for one frame; everything stays on device.
 
@@ -204,6 +217,11 @@ def estimate_psi(
     bounded-window sampler (:func:`sobfu_tpu.fields.sample_trilinear_window`)
     with this half-width in voxels — the TPU-fast path, exact as long as the
     deformation magnitude stays below the window. None = exact XLA gather.
+
+    use_pallas: run each gradient-descent iteration as ONE fused Pallas
+    kernel (:func:`sobfu_tpu.ops.pallas_kernels.fused_gd_step`) — requires
+    warp_window (the fused warp is bounded-window) and grid dims tiling
+    evenly by (pallas_block_z, pallas_tile_y).
     """
     energy0 = jnp.zeros((energy_cap if record_energy else 1, 3), jnp.float32)
 
@@ -227,17 +245,36 @@ def estimate_psi(
     def gd_step(state: SolverState) -> SolverState:
         psi, tsdf_n_psi = state.psi, state.tsdf_n_psi
 
-        grad = fields.tsdf_gradient(tsdf_n_psi)
-        lap = fields.neg_laplacian(psi)
-        dU = (tsdf_n_psi - tsdf_global)[None] * grad + w_reg * lap
-        dU_S = sobolev_smooth(dU, taps)
+        if use_pallas:
+            from sobfu_tpu.ops.pallas_kernels import fused_gd_step
 
-        update = alpha * dU_S
-        psi_new = psi - update
-        tsdf_new = warp_scalar(tsdf_n, psi_new)
+            assert warp_window is not None, "use_pallas requires warp_window"
+            assert taps_static is not None, "use_pallas requires taps_static"
+            psi_new, tsdf_new, mx_sq = fused_gd_step(
+                psi,
+                tsdf_n_psi,
+                tsdf_global,
+                tsdf_n,
+                alpha,
+                w_reg,
+                taps_static,
+                K=warp_window,
+                BZ=pallas_block_z,
+                TY=pallas_tile_y,
+            )
+            mnorm = jnp.sqrt(mx_sq)
+        else:
+            grad = fields.tsdf_gradient(tsdf_n_psi)
+            lap = fields.neg_laplacian(psi)
+            dU = (tsdf_n_psi - tsdf_global)[None] * grad + w_reg * lap
+            dU_S = sobolev_smooth(dU, taps)
 
-        norm_sq = jnp.sum(update * update, axis=0)
-        mnorm = jnp.sqrt(jnp.max(norm_sq))
+            update = alpha * dU_S
+            psi_new = psi - update
+            tsdf_new = warp_scalar(tsdf_n, psi_new)
+
+            norm_sq = jnp.sum(update * update, axis=0)
+            mnorm = jnp.sqrt(jnp.max(norm_sq))
 
         energy = state.energy
         if record_energy:
@@ -288,6 +325,14 @@ class Solver:
         self.taps = jnp.asarray(sobolev_filter_1d(params.s, params.lambda_))
         self.verbosity = params.verbosity
         self.warp_window = getattr(params, "warp_window", None)
+        use_pallas = getattr(params, "use_pallas", None)
+        if use_pallas is None:  # auto: fused kernel on TPU when windowed
+            use_pallas = (
+                self.warp_window is not None
+                and jax.default_backend() == "tpu"
+            )
+        self.use_pallas = bool(use_pallas)
+        self.taps_static = tuple(float(t) for t in np.asarray(self.taps))
 
     def estimate_psi(self, phi_global, phi_global_psi_inv, phi_n, phi_n_psi,
                      psi, psi_inv) -> SolveResult:
@@ -312,6 +357,8 @@ class Solver:
             record_energy=record,
             energy_cap=p.max_iter if record else 0,
             warp_window=self.warp_window,
+            use_pallas=self.use_pallas,
+            taps_static=self.taps_static if self.use_pallas else None,
         )
         psi.data = res.psi
         psi_inv.data = res.psi_inv
