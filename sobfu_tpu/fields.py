@@ -222,19 +222,14 @@ def sample_nearest_floor_window(
     return _window_sample(vol, psi, int(max_disp), mask, floor_coords=True)
 
 
-def _shifted_edge(f: jnp.ndarray, axis: int, o: int) -> jnp.ndarray:
-    """f[i + o] along axis with edge-clamp (replicate) semantics."""
-    if o == 0:
-        return f
-    n = f.shape[axis]
-    lo, hi = max(o, 0), min(n + o, n)
-    core = jax.lax.slice_in_dim(f, lo, hi, axis=axis)
-    pad = [(0, 0)] * f.ndim
-    pad[axis] = (max(-o, 0), max(o, 0))
-    return jnp.pad(core, pad, mode="edge")
-
-
 def _window_sample(vol, psi, K, weight_fn, floor_coords):
+    """Core of the bounded-window samplers.
+
+    The volume is edge-padded ONCE by K+1 on each spatial axis; every
+    shifted term is then a pure static slice of the padded array — a flat,
+    fusion-friendly graph (one pad + W^3 slice-FMAs) instead of W^3 chained
+    pad/concat ops, which XLA compiles pathologically slowly.
+    """
     Z, Y, X = vol.shape[-3:]
     ident = identity_field((Z, Y, X), psi.dtype)
     cx = jnp.clip(psi[0], 0.0, X - 1)
@@ -247,20 +242,31 @@ def _window_sample(vol, psi, K, weight_fn, floor_coords):
     dy = jnp.clip(cy - ident[1], -K, K + 1)
     dz = jnp.clip(cz - ident[2], -K, K + 1)
 
+    P = K + 1
+    lead = [(0, 0)] * (vol.ndim - 3)
+    vpad = jnp.pad(vol, lead + [(P, P)] * 3, mode="edge")
+
+    def view(oz, oy, ox):
+        idx = (Ellipsis,
+               slice(P + oz, P + oz + Z),
+               slice(P + oy, P + oy + Y),
+               slice(P + ox, P + ox + X))
+        return vpad[idx]
+
     offsets = range(-K, K + 2)
+    wx = {o: weight_fn(dx, o) for o in offsets}
+    wy = {o: weight_fn(dy, o) for o in offsets}
+    wz = {o: weight_fn(dz, o) for o in offsets}
+
     out = jnp.zeros_like(vol)
     for oz in offsets:
-        wz = weight_fn(dz, oz)
-        vz = _shifted_edge(vol, -3, oz)
         acc_y = jnp.zeros_like(vol)
         for oy in offsets:
-            wy = weight_fn(dy, oy)
-            vzy = _shifted_edge(vz, -2, oy)
             acc_x = jnp.zeros_like(vol)
             for ox in offsets:
-                acc_x = acc_x + weight_fn(dx, ox) * _shifted_edge(vzy, -1, ox)
-            acc_y = acc_y + wy * acc_x
-        out = out + wz * acc_y
+                acc_x = acc_x + wx[ox] * view(oz, oy, ox)
+            acc_y = acc_y + wy[oy] * acc_x
+        out = out + wz[oz] * acc_y
     return out
 
 
