@@ -254,19 +254,18 @@ def _window_sample(vol, psi, K, weight_fn, floor_coords):
         return vpad[idx]
 
     offsets = range(-K, K + 2)
-    wx = {o: weight_fn(dx, o) for o in offsets}
-    wy = {o: weight_fn(dy, o) for o in offsets}
-    wz = {o: weight_fn(dz, o) for o in offsets}
-
+    # weights are recomputed inline per term: 2 extra fused VPU ops each,
+    # but no W-sized set of materialised weight volumes (at 256^3 those
+    # temps alone exceeded HBM limits)
     out = jnp.zeros_like(vol)
     for oz in offsets:
         acc_y = jnp.zeros_like(vol)
         for oy in offsets:
             acc_x = jnp.zeros_like(vol)
             for ox in offsets:
-                acc_x = acc_x + wx[ox] * view(oz, oy, ox)
-            acc_y = acc_y + wy[oy] * acc_x
-        out = out + wz[oz] * acc_y
+                acc_x = acc_x + weight_fn(dx, ox) * view(oz, oy, ox)
+            acc_y = acc_y + weight_fn(dy, oy) * acc_x
+        out = out + weight_fn(dz, oz) * acc_y
     return out
 
 

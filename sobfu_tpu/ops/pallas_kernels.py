@@ -141,22 +141,29 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
         # ---- tnp / tg views over the dU row range ----
         # scratch index: padded global row g  <->  s[g - z0 + H]
         o = _H - R  # scratch offset of the first dU row
-        t_c = s_tnp[pl.ds(o, DZ), pl.ds(o, DY), :]
-        tg_c = s_tg[pl.ds(o, DZ), pl.ds(o, DY), :]
-        diff = t_c - tg_c
 
-        gx_c = (_shift_x_edge(t_c, 1, X) - _shift_x_edge(t_c, -1, X)) * 0.5 * mx
-        gy_c = (
-            s_tnp[pl.ds(o, DZ), pl.ds(o + 1, DY), :]
-            - s_tnp[pl.ds(o, DZ), pl.ds(o - 1, DY), :]
-        ) * 0.5 * my
-        gz_c = (
-            s_tnp[pl.ds(o + 1, DZ), pl.ds(o, DY), :]
-            - s_tnp[pl.ds(o - 1, DZ), pl.ds(o, DY), :]
-        ) * 0.5 * mz
+        # per-channel processing keeps at most ~2 tile-sized temps live at a
+        # time — VMEM is only 16 MB and every named intermediate costs stack
+        def grad_of(c):
+            t_c = s_tnp[pl.ds(o, DZ), pl.ds(o, DY), :]
+            if c == 0:
+                return (_shift_x_edge(t_c, 1, X) - _shift_x_edge(t_c, -1, X)) * 0.5 * mx
+            if c == 1:
+                return (
+                    s_tnp[pl.ds(o, DZ), pl.ds(o + 1, DY), :]
+                    - s_tnp[pl.ds(o, DZ), pl.ds(o - 1, DY), :]
+                ) * 0.5 * my
+            return (
+                s_tnp[pl.ds(o + 1, DZ), pl.ds(o, DY), :]
+                - s_tnp[pl.ds(o - 1, DZ), pl.ds(o, DY), :]
+            ) * 0.5 * mz
 
         update_sq = None
         for c in range(3):
+            diff = (
+                s_tnp[pl.ds(o, DZ), pl.ds(o, DY), :]
+                - s_tg[pl.ds(o, DZ), pl.ds(o, DY), :]
+            )
             p_c = s_psi[c, pl.ds(o, DZ), pl.ds(o, DY), :]
             lap_x = (
                 _shift_x_edge(p_c, 1, X) + _shift_x_edge(p_c, -1, X) - 2.0 * p_c
@@ -173,8 +180,7 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
             ) * mz
             neg_lap = -(lap_x + lap_y + lap_z)
 
-            grad_c = (gx_c, gy_c, gz_c)[c]
-            dU = diff * grad_c + w_reg * neg_lap  # [DZ, DY, X]
+            dU = diff * grad_of(c) + w_reg * neg_lap  # [DZ, DY, X]
 
             # ---- Sobolev smoothing: sum of three 1-D convolutions ----
             # x: edge-clamped lane shifts on the output row range
@@ -212,21 +218,21 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
         dy = jnp.clip(jnp.clip(py, 0.0, Y - 1) - vy, -K, K + 1)
         dz = jnp.clip(jnp.clip(pz, 0.0, Z - 1) - vz, -K, K + 1)
 
-        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - ox)) for ox in range(-K, K + 2)]
-        wys = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy)) for oy in range(-K, K + 2)]
-        wzs = [jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz)) for oz in range(-K, K + 2)]
-
+        # hat weights computed inline per term (2 fused VPU ops each) — a
+        # precomputed W-sized weight list costs 3W live tile temps in VMEM
         out = jnp.zeros(shape_o, jnp.float32)
-        for izo, oz in enumerate(range(-K, K + 2)):
+        for oz in range(-K, K + 2):
             # live scratch: padded global row g <-> s_live[g - z0 + KZ]
             acc_y = jnp.zeros(shape_o, jnp.float32)
-            for iyo, oy in enumerate(range(-K, K + 2)):
+            for oy in range(-K, K + 2):
                 lzy = s_live[pl.ds(KZ + oz, BZ), pl.ds(KZ + oy, TY), :]
                 acc_x = jnp.zeros(shape_o, jnp.float32)
-                for ixo, ox in enumerate(range(-K, K + 2)):
-                    acc_x = acc_x + wxs[ixo] * _shift_x_edge(lzy, ox, X)
-                acc_y = acc_y + wys[iyo] * acc_x
-            out = out + wzs[izo] * acc_y
+                for ox in range(-K, K + 2):
+                    acc_x = acc_x + jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dx - ox)
+                    ) * _shift_x_edge(lzy, ox, X)
+                acc_y = acc_y + jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy)) * acc_x
+            out = out + jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz)) * acc_y
         tnp_out[:] = out
 
     return kernel
