@@ -68,7 +68,7 @@ def _shift_x_edge(a: jnp.ndarray, o: int, X: int) -> jnp.ndarray:
 
 def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
     """Build the fused GD-step kernel body for static tile geometry."""
-    KZ = K + 2  # live-volume halo (window reach K+1, +1 margin)
+    KZ = K + 1  # live-volume halo (window reach K, +1 margin)
     R = n_taps // 2
     DZ = BZ + 2 * R  # dU z-rows (output rows + conv halo)
     DY = TY + 2 * R
@@ -214,20 +214,21 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
         vz = (
             jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0
         ).astype(jnp.float32)
-        dx = jnp.clip(jnp.clip(px, 0.0, X - 1) - vx, -K, K + 1)
-        dy = jnp.clip(jnp.clip(py, 0.0, Y - 1) - vy, -K, K + 1)
-        dz = jnp.clip(jnp.clip(pz, 0.0, Z - 1) - vz, -K, K + 1)
+        hi = K - 1e-4  # open window: corner offsets span [-K, K]
+        dx = jnp.clip(jnp.clip(px, 0.0, X - 1) - vx, -K, hi)
+        dy = jnp.clip(jnp.clip(py, 0.0, Y - 1) - vy, -K, hi)
+        dz = jnp.clip(jnp.clip(pz, 0.0, Z - 1) - vz, -K, hi)
 
         # hat weights computed inline per term (2 fused VPU ops each) — a
         # precomputed W-sized weight list costs 3W live tile temps in VMEM
         out = jnp.zeros(shape_o, jnp.float32)
-        for oz in range(-K, K + 2):
+        for oz in range(-K, K + 1):
             # live scratch: padded global row g <-> s_live[g - z0 + KZ]
             acc_y = jnp.zeros(shape_o, jnp.float32)
-            for oy in range(-K, K + 2):
+            for oy in range(-K, K + 1):
                 lzy = s_live[pl.ds(KZ + oz, BZ), pl.ds(KZ + oy, TY), :]
                 acc_x = jnp.zeros(shape_o, jnp.float32)
-                for ox in range(-K, K + 2):
+                for ox in range(-K, K + 1):
                     acc_x = acc_x + jnp.maximum(
                         0.0, 1.0 - jnp.abs(dx - ox)
                     ) * _shift_x_edge(lzy, ox, X)
@@ -267,7 +268,7 @@ def fused_gd_step(
     assert Z % BZ == 0 and Y % TY == 0, (Z, BZ, Y, TY)
     n_taps = len(taps_static)
     assert n_taps % 2 == 1 and n_taps <= 2 * _H - 1
-    KZ = K + 2
+    KZ = K + 1
 
     pad_h = [(0, 0), (_H, _H), (_H, _H), (0, 0)]
     psi_pad = jnp.pad(psi, pad_h, mode="edge")
