@@ -26,7 +26,8 @@ def save_checkpoint(path: str, fusion) -> None:
         state["phi_global_weight"] = np.asarray(fusion.phi_global.weight)
         state["psi"] = np.asarray(fusion.psi.data)
         state["psi_inv"] = np.asarray(fusion.psi_inv.data)
-    tmp = path + ".tmp"
+    # np.savez appends ".npz" unless the name already ends with it
+    tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **state)
     os.replace(tmp, path)
 
