@@ -91,8 +91,11 @@ def _icp_level(
         u = fx * s[..., 0] / s[..., 2] + cx
         v = fy * s[..., 1] / s[..., 2] + cy
         in_img = (s[..., 2] > 0) & (u >= 0) & (v >= 0) & (u < W) & (v < H)
-        ui = jnp.clip(u.astype(jnp.int32), 0, W - 1)
-        vi = jnp.clip(v.astype(jnp.int32), 0, H - 1)
+        # nearest-pixel correspondence (the reference point-samples a CUDA
+        # texture at the projected coordinate, proj_icp.cu:49-57); rounding
+        # keeps self-correspondence exact under float projection noise
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
         flat = vi * W + ui
 
         d = jnp.take(points_prev.reshape(-1, 3), flat, axis=0)
