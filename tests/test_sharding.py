@@ -1,0 +1,93 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The reference is single-GPU (SURVEY.md §2: no distributed layer); this is
+the TPU-native scale-out path — z-sharded solver with halo exchange and
+scene-batched data parallelism — validated for EXACTNESS against the
+single-device solve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sobfu_tpu import fields, solver
+from sobfu_tpu.parallel import make_mesh, make_sharded_estimate_psi, make_frame_step
+from sobfu_tpu.tsdf import init_sphere
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+DIM = 32
+SIZE = 0.125
+
+
+def _scene(shift):
+    dims = (DIM, DIM, DIM)
+    vs = SIZE / DIM
+    trunc, eta = 10 * vs, 2 * vs
+    c = SIZE / 2
+    tg, wg = init_sphere(dims, (vs, vs, vs), (c, c, c), 0.01, trunc, eta)
+    tn, wn = init_sphere(dims, (vs, vs, vs), (c - shift, c, c), 0.01, trunc, eta)
+    return tg, wg, tn, wn
+
+
+def test_sharded_solve_matches_single_device():
+    tg, wg, tn, wn = _scene(2.0 * SIZE / DIM)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    psi = fields.identity_field((DIM, DIM, DIM))
+    args = (jnp.float32(0.1), jnp.float32(0.4), jnp.int32(24), jnp.float32(-1.0))
+
+    ref = solver.estimate_psi(psi, tg, wg, tn, wn, taps, *args, inverse_iters=8)
+
+    mesh = make_mesh(n_z=8)
+    fn = make_sharded_estimate_psi(mesh, inverse_iters=8)
+    psi_s, psi_inv_s, tnp_s, wnp_s, tgi_s, wgi_s, iters_s, mn_s = fn(
+        psi, tg, wg, tn, wn, taps, *args
+    )
+
+    assert int(iters_s) == 24
+    np.testing.assert_allclose(np.asarray(psi_s), np.asarray(ref.psi), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(tnp_s), np.asarray(ref.tsdf_n_psi), atol=1e-5
+    )
+    np.testing.assert_allclose(float(mn_s), float(ref.max_norm), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(psi_inv_s), np.asarray(ref.psi_inv), atol=1e-4
+    )
+
+
+def test_frame_step_scene_batch():
+    mesh = make_mesh(n_z=4, n_scene=2)
+    dims_zyx = (16, 16, 16)
+    step, shardings = make_frame_step(mesh, dims_zyx, inverse_iters=2)
+
+    S = 4
+    vs = 0.25 / 16
+    psi1 = fields.identity_field(dims_zyx)
+    psi_b = jax.device_put(
+        jnp.broadcast_to(psi1[None], (S,) + psi1.shape), shardings["psi"]
+    )
+    tg_b = jax.device_put(jnp.ones((S,) + dims_zyx, jnp.float32), shardings["vol"])
+    wg_b = jax.device_put(jnp.ones((S,) + dims_zyx, jnp.float32), shardings["vol"])
+    dists_b = jax.device_put(
+        jnp.full((S, 24, 32), 0.5, jnp.float32), shardings["img"]
+    )
+    vol2cam = np.eye(4, dtype=np.float32)
+    vol2cam[:3, 3] = (-0.125, -0.125, 0.2)
+    v2c_b = jnp.broadcast_to(jnp.asarray(vol2cam)[None], (S, 4, 4))
+
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    out = step(
+        psi_b, tg_b, wg_b, dists_b, v2c_b,
+        jnp.asarray([20.0, 20.0, 16.0, 12.0], jnp.float32),
+        jnp.asarray([vs, vs, vs], jnp.float32),
+        jnp.float32(10 * vs), jnp.float32(2 * vs), jnp.float32(64.0),
+        taps, jnp.float32(0.05), jnp.float32(0.2),
+        jnp.int32(2), jnp.float32(-1.0),
+    )
+    psi_out, psi_inv_out, tg_out, wg_out, iters, mnorm = out
+    assert psi_out.shape == (S, 3) + dims_zyx
+    assert bool(jnp.all(jnp.isfinite(tg_out)))
+    assert np.asarray(iters).tolist() == [2] * S
