@@ -395,6 +395,24 @@ def deformation_jacobian(psi: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def interpolate_gradient(tsdf: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
+    """Gradient of a tsdf sampled at psi: (grad tsdf) o psi -> f32[3,Z,Y,X].
+
+    Parity with the reference's interpolate_gradient warp-compose kernel
+    (vector_fields.cu:210-240; allocated but unused by the main pipeline).
+    """
+    grad = tsdf_gradient(tsdf)
+    return sample_field_trilinear(grad, psi)
+
+
+@jax.jit
+def interpolate_laplacian(field: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
+    """Negated Laplacian of a field sampled at psi (vector_fields.cu:242-272)."""
+    lap = neg_laplacian(field)
+    return sample_field_trilinear(lap, psi)
+
+
+@jax.jit
 def neg_laplacian(field: jnp.ndarray) -> jnp.ndarray:
     """Negated 6-neighbour Laplacian: 6f - sum(neighbours), boundary-clamped.
 

@@ -279,3 +279,10 @@ class TsdfVolume:
         self.tsdf, self.weight = init_torus(
             self.dims_zyx, self.voxel_sizes(), major_r, minor_r, self.trunc_dist
         )
+
+    # -- debug ---------------------------------------------------------------
+    def print_sdf_values(self, z: int = None) -> None:
+        """Print tsdf values of one z-slice (reference print_sdf_values,
+        tsdf_volume.cpp:148-163, which dumped the raw buffer)."""
+        z = self.dims_zyx[0] // 2 if z is None else int(z)
+        print(np.asarray(self.tsdf[z]))

@@ -221,3 +221,23 @@ def test_deformation_field_wrapper():
     assert df.no_nans()
     df.data = df.data.at[0].add(jnp.nan)
     assert not df.no_nans()
+
+
+def test_interpolate_gradient_and_laplacian_at_identity():
+    """Warp-composed differentials at the identity equal the plain ones
+    (reference interpolate_gradient/laplacian, vector_fields.cu:210-272)."""
+    rng = np.random.default_rng(7)
+    dims = (12, 10, 8)
+    tsdf = jnp.asarray(rng.standard_normal(dims), jnp.float32)
+    psi = fields.identity_field(dims)
+    np.testing.assert_allclose(
+        np.asarray(fields.interpolate_gradient(tsdf, psi)),
+        np.asarray(fields.tsdf_gradient(tsdf)),
+        atol=1e-6,
+    )
+    f = jnp.asarray(rng.standard_normal((3,) + dims), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fields.interpolate_laplacian(f, psi)),
+        np.asarray(fields.neg_laplacian(f)),
+        atol=1e-6,
+    )

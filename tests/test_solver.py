@@ -232,3 +232,29 @@ def test_window_warp_solver_matches_exact():
     np.testing.assert_allclose(
         np.asarray(windowed.psi_inv), np.asarray(exact.psi_inv), atol=1e-3
     )
+
+
+def test_energy_recording_matches_direct_evaluation():
+    """verbosity>0 records (data, reg, max_norm) per iteration; entry 0 must
+    equal the energies of the initial state (reference prints these,
+    solver.cu:132-142)."""
+    p = make_params(alpha=0.05, max_iter=4)
+    phi_g = TsdfVolume(p)
+    phi_g.init_sphere((0.065, 0.065, 0.065), 0.01)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((0.064, 0.065, 0.065), 0.01)
+    taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
+    psi0 = fields.identity_field((DIM, DIM, DIM))
+    res = solver.estimate_psi(
+        psi0, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps,
+        jnp.float32(p.alpha), jnp.float32(p.w_reg),
+        jnp.int32(4), jnp.float32(-1.0),
+        record_energy=True, energy_cap=4, inverse_iters=2,
+    )
+    hist = np.asarray(res.energy)
+    assert hist.shape == (4, 3)
+    # iteration 0 data energy = energy of the unwarped (identity) state
+    e0 = float(solver.data_energy(phi_g.tsdf, phi_n.tsdf))
+    np.testing.assert_allclose(hist[0, 0], e0, rtol=1e-4)
+    np.testing.assert_allclose(hist[0, 1], 0.0, atol=1e-5)  # reg of identity
+    assert (hist[:, 2] > 0).all()
