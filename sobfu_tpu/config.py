@@ -158,6 +158,12 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         if key in vm:
             setattr(p, attr, conv(vm[key]))
 
+    # TPU extension keys (optional; not present in reference configs)
+    if "WARP_WINDOW" in vm:
+        p.warp_window = int(vm["WARP_WINDOW"])
+    if "USE_PALLAS" in vm:
+        p.use_pallas = vm["USE_PALLAS"].strip().lower() in ("1", "true", "yes")
+
     vsx = p.voxel_sizes()[0]
     if "TSDF_TRUNC_DIST" in vm:
         p.tsdf_trunc_dist = float(vm["TSDF_TRUNC_DIST"]) * vsx

@@ -181,3 +181,11 @@ START_FRAME = 2
     np.testing.assert_allclose(p.volume_pose[:3, 3], [-0.25, -0.25, 0.75])
     assert (p.max_iter, p.s, p.start_frame) == (512, 7, 2)
     np.testing.assert_allclose([p.lambda_, p.alpha, p.w_reg], [0.1, 0.05, 0.3])
+
+
+def test_ini_tpu_extension_keys(tmp_path):
+    ini = tmp_path / "p.ini"
+    ini.write_text("VOL_DIMS_X=32\nWARP_WINDOW=3\nUSE_PALLAS=false\n")
+    p = load_params(str(ini))
+    assert p.warp_window == 3
+    assert p.use_pallas is False

@@ -89,3 +89,39 @@ def test_capacity_overflow_is_clamped():
         max_occupied=64, max_vertices=99,
     )
     assert mesh.vertices.shape[0] <= 99
+
+
+def test_mc_empty_volume_yields_no_triangles():
+    tsdf = jnp.ones((16, 16, 16), jnp.float32)
+    weight = jnp.ones_like(tsdf)
+    from sobfu_tpu.mc import extract_mesh
+    m = extract_mesh(tsdf, weight, (0.01, 0.01, 0.01))
+    assert m.n_triangles == 0
+
+
+def test_mc_zero_weight_gates_triangles():
+    """Weight-zero corners must suppress triangles even across the surface
+    (reference computeCubeIndex early-out, marching_cubes.cu:40-79)."""
+    from sobfu_tpu.tsdf import init_sphere
+    from sobfu_tpu.mc import extract_mesh
+    dims = (24, 24, 24)
+    vs = 0.01
+    t, w = init_sphere(dims, (vs, vs, vs), (0.12, 0.12, 0.12), 0.05, 0.02, 0.02)
+    full = extract_mesh(t, w, (vs, vs, vs))
+    assert full.n_triangles > 0
+    none = extract_mesh(t, jnp.zeros_like(w), (vs, vs, vs))
+    assert none.n_triangles == 0
+
+
+def test_mc_capacity_clamp():
+    """Vertex output must clamp to max_vertices without corruption."""
+    from sobfu_tpu.tsdf import init_sphere
+    from sobfu_tpu.mc import marching_cubes
+    dims = (24, 24, 24)
+    vs = 0.01
+    t, w = init_sphere(dims, (vs, vs, vs), (0.12, 0.12, 0.12), 0.05, 0.02, 0.02)
+    v, n, count, occ = marching_cubes(
+        t, w, jnp.asarray([vs] * 3), jnp.eye(4), max_vertices=30
+    )
+    assert int(count) == 30
+    assert np.isfinite(np.asarray(v)).all()
