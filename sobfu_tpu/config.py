@@ -85,7 +85,7 @@ class Params:
     # bounded-window warp half-width in voxels for the gather-free trilinear
     # sampler; None = exact gather.
     warp_window: "int | None" = None
-    # fused Pallas solver iterations; None = auto (on for TPU + warp_window).
+    # fused Pallas solver iterations; strictly opt-in (requires warp_window).
     use_pallas: "bool | None" = None
 
     def voxel_sizes(self) -> Tuple[float, float, float]:

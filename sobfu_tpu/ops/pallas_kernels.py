@@ -219,21 +219,29 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
         dy = jnp.clip(jnp.clip(py, 0.0, Y - 1) - vy, -K, hi)
         dz = jnp.clip(jnp.clip(pz, 0.0, Z - 1) - vz, -K, hi)
 
-        # hat weights computed inline per term (2 fused VPU ops each) — a
-        # precomputed W-sized weight list costs 3W live tile temps in VMEM
-        out = jnp.zeros(shape_o, jnp.float32)
-        for oz in range(-K, K + 1):
-            # live scratch: padded global row g <-> s_live[g - z0 + KZ]
-            acc_y = jnp.zeros(shape_o, jnp.float32)
-            for oy in range(-K, K + 1):
-                lzy = s_live[pl.ds(KZ + oz, BZ), pl.ds(KZ + oy, TY), :]
-                acc_x = jnp.zeros(shape_o, jnp.float32)
-                for ox in range(-K, K + 1):
-                    acc_x = acc_x + jnp.maximum(
-                        0.0, 1.0 - jnp.abs(dx - ox)
-                    ) * _shift_x_edge(lzy, ox, X)
-                acc_y = acc_y + jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy)) * acc_x
-            out = out + jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz)) * acc_y
+        # (oz, oy) as a ROLLED fori_loop: Mosaic stack-allocates every value
+        # in an unrolled loop, so a (2K+1)^3 unrolled window blows the 16 MB
+        # VMEM budget — rolled loops reuse the same few tile temps. Only the
+        # innermost ox stays unrolled (static lane rolls).
+        Wn = 2 * K + 1
+
+        def warp_body(i, acc):
+            oz = i // Wn - K  # traced scalars; pl.ds handles dynamic starts
+            oy = i % Wn - K
+            lzy = s_live[pl.ds(KZ + oz, BZ), pl.ds(KZ + oy, TY), :]
+            acc_x = jnp.zeros(shape_o, jnp.float32)
+            for ox in range(-K, K + 1):
+                acc_x = acc_x + jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dx - ox)
+                ) * _shift_x_edge(lzy, ox, X)
+            wzy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32))
+            ) * jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy.astype(jnp.float32)))
+            return acc + wzy * acc_x
+
+        out = jax.lax.fori_loop(
+            0, Wn * Wn, warp_body, jnp.zeros(shape_o, jnp.float32)
+        )
         tnp_out[:] = out
 
     return kernel

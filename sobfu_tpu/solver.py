@@ -332,13 +332,10 @@ class Solver:
         self.taps = jnp.asarray(sobolev_filter_1d(params.s, params.lambda_))
         self.verbosity = params.verbosity
         self.warp_window = getattr(params, "warp_window", None)
-        use_pallas = getattr(params, "use_pallas", None)
-        if use_pallas is None:  # auto: fused kernel on TPU when windowed
-            use_pallas = (
-                self.warp_window is not None
-                and jax.default_backend() == "tpu"
-            )
-        self.use_pallas = bool(use_pallas)
+        # STRICTLY opt-in: the Mosaic compile service in some TPU pools is
+        # unreliable (see ops/pallas_kernels.py docstring); the XLA window
+        # path is the default production path.
+        self.use_pallas = bool(getattr(params, "use_pallas", None) or False)
         self.taps_static = tuple(float(t) for t in np.asarray(self.taps))
 
     def estimate_psi(self, phi_global, phi_global_psi_inv, phi_n, phi_n_psi,
