@@ -26,18 +26,23 @@ Design stance (TPU-first, not a CUDA translation):
     collectives, scene batching via `vmap`
 """
 
-from sobfu_tpu.config import Params, load_params
+from sobfu_tpu.config import Intr, Params, load_params
 from sobfu_tpu.tsdf import TsdfVolume
 from sobfu_tpu.fields import DeformationField
 from sobfu_tpu.pipeline import SobFusion
+from sobfu_tpu.scalar_fields import ScalarField
+from sobfu_tpu.reductor import Reductor
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
+    "Intr",
     "Params",
     "load_params",
     "TsdfVolume",
     "DeformationField",
     "SobFusion",
+    "ScalarField",
+    "Reductor",
     "__version__",
 ]
