@@ -272,6 +272,53 @@ def _window_sample(vol, psi, K, weight_fn, floor_coords):
     return out
 
 
+def sample_trilinear_window_zoffset(
+    vol_full: jnp.ndarray, psi_local: jnp.ndarray, z0, max_disp: int = 4
+) -> jnp.ndarray:
+    """Windowed trilinear sampling of a z-BLOCK from a full volume.
+
+    For z-sharded solvers (parallel/sharding.py): psi_local covers global
+    rows [z0, z0 + Zl) with ABSOLUTE coordinates; vol_full is the whole
+    (replicated / all-gathered) volume. Window semantics identical to
+    :func:`sample_trilinear_window`; z0 may be a traced scalar.
+    """
+    K = int(max_disp)
+    Zl = psi_local.shape[-3]
+    Z, Y, X = vol_full.shape[-3:]
+    zz, yy, xx = jnp.meshgrid(
+        jnp.arange(Zl, dtype=jnp.float32) + jnp.asarray(z0, jnp.float32),
+        jnp.arange(Y, dtype=jnp.float32),
+        jnp.arange(X, dtype=jnp.float32),
+        indexing="ij",
+    )
+    hi = K - 1e-4
+    dx = jnp.clip(jnp.clip(psi_local[0], 0.0, X - 1) - xx, -K, hi)
+    dy = jnp.clip(jnp.clip(psi_local[1], 0.0, Y - 1) - yy, -K, hi)
+    dz = jnp.clip(jnp.clip(psi_local[2], 0.0, Z - 1) - zz, -K, hi)
+
+    P = K
+    vpad = jnp.pad(vol_full, [(P, P)] * 3, mode="edge")
+
+    def hat(d, o):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
+
+    z0i = jnp.asarray(z0, jnp.int32)
+    out = jnp.zeros(psi_local.shape[1:], vol_full.dtype)
+    for oz in range(-K, K + 1):
+        vz = jax.lax.dynamic_slice_in_dim(vpad, z0i + (P + oz), Zl, axis=0)
+        acc_y = jnp.zeros_like(out)
+        for oy in range(-K, K + 1):
+            vzy = jax.lax.slice_in_dim(vz, P + oy, P + oy + Y, axis=1)
+            acc_x = jnp.zeros_like(out)
+            for ox in range(-K, K + 1):
+                acc_x = acc_x + hat(dx, ox) * jax.lax.slice_in_dim(
+                    vzy, P + ox, P + ox + X, axis=2
+                )
+            acc_y = acc_y + hat(dy, oy) * acc_x
+        out = out + hat(dz, oz) * acc_y
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "max_disp"))
 def estimate_inverse_window(
     psi: jnp.ndarray, iters: int = 48, max_disp: int = 4

@@ -126,12 +126,15 @@ def _zmask(n_local: int, h_is_first, h_is_last, dtype=jnp.float32) -> jnp.ndarra
 
 
 def _gd_step_local(
-    psi_l, tnp_l, tsdf_g_l, tsdf_n_full, taps, alpha, w_reg, z0, axis_name
+    psi_l, tnp_l, tsdf_g_l, tsdf_n_full, taps, alpha, w_reg, z0, axis_name,
+    warp_window=None,
 ):
     """One gradient-descent step on a local z-block (runs inside shard_map).
 
     psi_l/tnp_l/tsdf_g_l: local blocks [.., Zl, Y, X]; tsdf_n_full: the full
     live volume (replicated); z0: global z offset of this block.
+    warp_window: None = exact XLA gather warp; int = gather-free bounded
+    window (the TPU-fast path, see fields.sample_trilinear_window_zoffset).
     """
     H = 4  # halo: stencil radius 1 + conv radius 3
     nz = jax.lax.axis_size(axis_name)
@@ -167,15 +170,21 @@ def _gd_step_local(
     update = alpha * dU_S
     psi_new = psi_l - update
 
-    # exact warp: psi holds GLOBAL coords; gather from the full live volume
-    tnp_new = fields.sample_trilinear(tsdf_n_full, psi_new)
+    # psi holds GLOBAL coords; sample the full live volume
+    if warp_window is None:
+        tnp_new = fields.sample_trilinear(tsdf_n_full, psi_new)
+    else:
+        tnp_new = fields.sample_trilinear_window_zoffset(
+            tsdf_n_full, psi_new, z0, warp_window
+        )
 
     mnorm = jnp.sqrt(jnp.max(jnp.sum(update * update, axis=0)))
     mnorm = jax.lax.pmax(mnorm, axis_name)
     return psi_new, tnp_new, mnorm
 
 
-def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48):
+def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
+                              warp_window=None):
     """Build a jit-compiled sharded solve for the given mesh.
 
     Returns fn(psi, tsdf_global, weight_global, tsdf_n, weight_n, taps,
@@ -198,7 +207,8 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48):
         def body(state):
             psi_l, tnp_l, it, _ = state
             psi_l, tnp_l, mnorm = _gd_step_local(
-                psi_l, tnp_l, tg_l, tsdf_n_full, taps, alpha, w_reg, z0, axis
+                psi_l, tnp_l, tg_l, tsdf_n_full, taps, alpha, w_reg, z0, axis,
+                warp_window,
             )
             return psi_l, tnp_l, it + 1, mnorm
 
@@ -265,7 +275,7 @@ def estimate_psi_sharded(mesh: Mesh, psi, tsdf_global, weight_global, tsdf_n,
 
 
 def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
-                    inverse_iters: int = 8):
+                    inverse_iters: int = 8, warp_window=None):
     """One full frame step (integrate -> solve -> fuse) over a
     ('scene', 'z') mesh: scenes are data-parallel, the grid is z-sharded.
 
@@ -302,7 +312,8 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
         def body(state):
             psi_l, tnp_l, it, _ = state
             psi_l, tnp_l, mnorm = _gd_step_local(
-                psi_l, tnp_l, tg_l, tsdf_n_full, taps, alpha, w_reg, z0, axis
+                psi_l, tnp_l, tg_l, tsdf_n_full, taps, alpha, w_reg, z0, axis,
+                warp_window,
             )
             return psi_l, tnp_l, it + 1, mnorm
 

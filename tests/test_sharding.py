@@ -91,3 +91,26 @@ def test_frame_step_scene_batch():
     assert psi_out.shape == (S, 3) + dims_zyx
     assert bool(jnp.all(jnp.isfinite(tg_out)))
     assert np.asarray(iters).tolist() == [2] * S
+
+
+def test_sharded_window_warp_matches_exact():
+    """warp_window path in the sharded solve must match the exact-gather
+    sharded solve for in-window displacements."""
+    tg, wg, tn, wn = _scene(1.5 * SIZE / DIM)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    psi = fields.identity_field((DIM, DIM, DIM))
+    args = (jnp.float32(0.1), jnp.float32(0.4), jnp.int32(16), jnp.float32(-1.0))
+
+    mesh = make_mesh(n_z=8)
+    exact = make_sharded_estimate_psi(mesh, inverse_iters=4)(
+        psi, tg, wg, tn, wn, taps, *args
+    )
+    windowed = make_sharded_estimate_psi(mesh, inverse_iters=4, warp_window=4)(
+        psi, tg, wg, tn, wn, taps, *args
+    )
+    np.testing.assert_allclose(
+        np.asarray(windowed[0]), np.asarray(exact[0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(windowed[2]), np.asarray(exact[2]), atol=1e-5
+    )
