@@ -15,8 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def save_checkpoint(path: str, fusion) -> None:
-    """Serialise a SobFusion pipeline's device state to `path` (.npz)."""
+def state_dict(fusion) -> dict:
+    """Pipeline state as a flat dict of numpy arrays (orbax/npz-agnostic)."""
     state = {
         "frame_counter": np.asarray(fusion.frame_counter),
         "poses": np.stack(fusion.poses, axis=0),
@@ -26,21 +26,52 @@ def save_checkpoint(path: str, fusion) -> None:
         state["phi_global_weight"] = np.asarray(fusion.phi_global.weight)
         state["psi"] = np.asarray(fusion.psi.data)
         state["psi_inv"] = np.asarray(fusion.psi_inv.data)
+    return state
+
+
+def save_checkpoint_orbax(path: str, fusion) -> None:
+    """Orbax-backed checkpoint (production path: async-safe, versioned).
+
+    Falls back to :func:`save_checkpoint` when orbax is unavailable.
+    """
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError:
+        return save_checkpoint(path, fusion)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), state_dict(fusion), force=True)
+
+
+def load_checkpoint_orbax(path: str, fusion) -> None:
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError:
+        return load_checkpoint(path, fusion)
+    ckptr = ocp.PyTreeCheckpointer()
+    data = ckptr.restore(os.path.abspath(path))
+    _restore(data, fusion)
+
+
+def save_checkpoint(path: str, fusion) -> None:
+    """Serialise a SobFusion pipeline's device state to `path` (.npz)."""
     # np.savez appends ".npz" unless the name already ends with it
     tmp = path + ".tmp.npz"
-    np.savez_compressed(tmp, **state)
+    np.savez_compressed(tmp, **state_dict(fusion))
     os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, fusion) -> None:
     """Restore a SobFusion pipeline's state in place from `path`."""
+    _restore(np.load(path), fusion)
+
+
+def _restore(data, fusion) -> None:
     from sobfu_tpu.fields import DeformationField
     from sobfu_tpu.tsdf import TsdfVolume
     from sobfu_tpu import solver as solver_mod
 
-    data = np.load(path)
     fusion.frame_counter = int(data["frame_counter"])
-    fusion.poses = [p for p in data["poses"]]
+    fusion.poses = [p for p in np.asarray(data["poses"])]
     if "phi_global_tsdf" in data:
         p = fusion.params
         fusion.phi_global = TsdfVolume(p)

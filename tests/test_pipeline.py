@@ -165,3 +165,17 @@ def test_cli_end_to_end(tmp_path):
     fields_out = sorted(os.listdir(scene / "fields"))
     assert len(fields_out) >= 2
     assert ckpt_path.exists()
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path, run_3_frames):
+    from sobfu_tpu.utils import checkpoint as ckpt
+
+    fusion = run_3_frames
+    path = str(tmp_path / "orbax_state")
+    ckpt.save_checkpoint_orbax(path, fusion)
+    fresh = SobFusion(make_params())
+    ckpt.load_checkpoint_orbax(path, fresh)
+    assert fresh.frame_counter == fusion.frame_counter
+    np.testing.assert_array_equal(
+        np.asarray(fresh.psi.data), np.asarray(fusion.psi.data)
+    )
