@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sobfu_tpu.config import Intr
 
 
 def _shift2d(a: jnp.ndarray, dy: int, dx: int, pad_value=0) -> jnp.ndarray:

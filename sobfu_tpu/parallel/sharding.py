@@ -22,7 +22,6 @@ All collectives ride ICI; nothing ever syncs to the host inside the loop.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -25,7 +25,6 @@ phi_global_psi_inv = warp(phi_global, psi_inv).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple, Optional, Tuple
 

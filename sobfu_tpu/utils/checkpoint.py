@@ -7,9 +7,7 @@ serialises to a single .npz so a stream can resume mid-sequence.
 
 from __future__ import annotations
 
-import dataclasses
 import os
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
