@@ -56,6 +56,17 @@ def main(argv=None) -> int:
     verbosity = 2 if args.vverbose else (1 if args.verbose else 0)
     params = load_params(args.params, verbosity=verbosity)
 
+    if params.warp_window is None:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            print(
+                "hint: running on TPU with the exact-gather warp (slow). "
+                "Set WARP_WINDOW=<K> in the .ini to use the gather-free "
+                "bounded-window warp (~100x faster; exact for deformations "
+                "under K voxels)."
+            )
+
     depths, colors, masks = sio.list_frames(args.data_dir)
     if not depths:
         print("error: no depth frames found", file=sys.stderr)
