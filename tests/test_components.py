@@ -189,3 +189,21 @@ def test_ini_tpu_extension_keys(tmp_path):
     p = load_params(str(ini))
     assert p.warp_window == 3
     assert p.use_pallas is False
+
+
+def test_shipped_scene_configs_load():
+    """All five published scene configs parse with correct conversions."""
+    import glob
+
+    root = os.path.join(os.path.dirname(__file__), "..", "params")
+    files = sorted(glob.glob(os.path.join(root, "params_*.ini")))
+    assert len(files) >= 6  # 5 scenes + default
+    for f in files:
+        p = load_params(f)
+        assert p.volume_dims[0] in (64, 128)
+        assert p.tsdf_trunc_dist > 0  # converted to metres
+        assert p.s == 7
+    # spot-check umbrella values
+    p = load_params(os.path.join(root, "params_umbrella.ini"))
+    np.testing.assert_allclose(p.tsdf_trunc_dist, 8.0 * 1.0 / 128)
+    assert p.max_iter == 2048 and p.start_frame == 1
