@@ -258,3 +258,66 @@ def test_energy_recording_matches_direct_evaluation():
     np.testing.assert_allclose(hist[0, 0], e0, rtol=1e-4)
     np.testing.assert_allclose(hist[0, 1], 0.0, atol=1e-5)  # reg of identity
     assert (hist[:, 2] > 0).all()
+
+
+def test_compositive_mode_coincides_with_additive_from_identity():
+    """With psi0 = identity the compositive scheme IS the additive scheme
+    (composition degenerates to addition); the two solvers must agree."""
+    p = make_params(alpha=0.1, w_reg=0.4, max_iter=48)
+    phi_g = TsdfVolume(p)
+    phi_g.init_sphere((0.065, 0.065, 0.065), 0.01)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((0.0635, 0.065, 0.065), 0.01)
+    taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
+    args = (jnp.float32(p.alpha), jnp.float32(p.w_reg),
+            jnp.int32(48), jnp.float32(-1.0))
+
+    psi0 = fields.identity_field((DIM, DIM, DIM))
+    add = solver.estimate_psi(
+        psi0, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps, *args,
+        inverse_iters=8, warp_window=4,
+    )
+    comp = solver.estimate_psi_compositive(
+        psi0, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps, *args,
+        inverse_iters=8, warp_window=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(comp.psi), np.asarray(add.psi), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(comp.tsdf_n_psi), np.asarray(add.tsdf_n_psi), atol=2e-4
+    )
+
+
+def test_compositive_mode_tracks_beyond_window():
+    """With an accumulated psi0 whose displacement EXCEEDS the window, the
+    compositive solve must still reduce the data energy (the additive
+    windowed solve cannot sample phi_n correctly there)."""
+    p = make_params(alpha=0.15, w_reg=0.4, max_iter=192)
+    vs = SIZE / DIM
+    # accumulated deformation: constant +6 voxel shift in x (way > window 2)
+    psi0 = fields.identity_field((DIM, DIM, DIM))
+    psi0 = psi0.at[0].add(6.0)
+
+    # phi_n shifted so that phi_n o psi0 nearly matches phi_global, with a
+    # small residual motion for the solver to recover
+    c = (0.065, 0.065, 0.065)
+    phi_g = TsdfVolume(p)
+    phi_g.init_sphere(c, 0.01)
+    phi_n = TsdfVolume(p)
+    # sample at x+6 voxels => feature sits at x - 6*vs in phi_n's frame;
+    # add 1 voxel of residual motion
+    phi_n.init_sphere((c[0] + 6 * vs - 1.0 * vs, c[1], c[2]), 0.01)
+
+    taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
+    res = solver.estimate_psi_compositive(
+        psi0, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps,
+        jnp.float32(p.alpha), jnp.float32(p.w_reg),
+        jnp.int32(192), jnp.float32(-1.0),
+        inverse_iters=8, warp_window=2,
+    )
+    t0 = fields.sample_trilinear(phi_n.tsdf, psi0)
+    e_before = float(solver.data_energy(phi_g.tsdf, t0))
+    e_after = float(solver.data_energy(phi_g.tsdf, res.tsdf_n_psi))
+    assert np.isfinite(e_after)
+    assert e_after < 0.8 * e_before, (e_before, e_after)
