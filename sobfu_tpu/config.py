@@ -87,6 +87,10 @@ class Params:
     warp_window: "int | None" = None
     # fused Pallas solver iterations; strictly opt-in (requires warp_window).
     use_pallas: "bool | None" = None
+    # "additive" = reference-faithful updates (psi -= a*dU_S);
+    # "compositive" = psi0 o (id + delta) — unbounded accumulated
+    # deformation with the bounded-window warp (TPU fast mode).
+    solver_mode: str = "additive"
 
     def voxel_sizes(self) -> Tuple[float, float, float]:
         return (
@@ -163,6 +167,10 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         p.warp_window = int(vm["WARP_WINDOW"])
     if "USE_PALLAS" in vm:
         p.use_pallas = vm["USE_PALLAS"].strip().lower() in ("1", "true", "yes")
+    if "SOLVER_MODE" in vm:
+        mode = vm["SOLVER_MODE"].strip().lower()
+        assert mode in ("additive", "compositive"), mode
+        p.solver_mode = mode
 
     vsx = p.voxel_sizes()[0]
     if "TSDF_TRUNC_DIST" in vm:

@@ -336,6 +336,7 @@ class Solver:
         # path is the default production path.
         self.use_pallas = bool(getattr(params, "use_pallas", None) or False)
         self.taps_static = tuple(float(t) for t in np.asarray(self.taps))
+        self.mode = getattr(params, "solver_mode", "additive")
 
     def estimate_psi(self, phi_global, phi_global_psi_inv, phi_n, phi_n_psi,
                      psi, psi_inv) -> SolveResult:
@@ -346,7 +347,7 @@ class Solver:
         """
         p = self.params
         record = self.verbosity > 0
-        res = estimate_psi(
+        common = (
             psi.data,
             phi_global.tsdf,
             phi_global.weight,
@@ -357,12 +358,20 @@ class Solver:
             jnp.float32(p.w_reg),
             jnp.int32(p.max_iter),
             jnp.float32(p.max_update_norm),
-            record_energy=record,
-            energy_cap=p.max_iter if record else 0,
-            warp_window=self.warp_window,
-            use_pallas=self.use_pallas,
-            taps_static=self.taps_static if self.use_pallas else None,
         )
+        if self.mode == "compositive":
+            res = estimate_psi_compositive(
+                *common, warp_window=self.warp_window or 2
+            )
+        else:
+            res = estimate_psi(
+                *common,
+                record_energy=record,
+                energy_cap=p.max_iter if record else 0,
+                warp_window=self.warp_window,
+                use_pallas=self.use_pallas,
+                taps_static=self.taps_static if self.use_pallas else None,
+            )
         psi.data = res.psi
         psi_inv.data = res.psi_inv
         phi_n_psi.tsdf = res.tsdf_n_psi
@@ -374,7 +383,9 @@ class Solver:
             iters = int(res.iters)
             hist = np.asarray(res.energy)
             stride = 1 if self.verbosity >= 2 else 50
-            for i in range(0, iters, stride):
+            if hist.shape[0] < iters:  # compositive mode records no history
+                hist = np.zeros((0, 3), np.float32)
+            for i in range(0, min(iters, hist.shape[0]), stride):
                 e_data, e_reg, mnorm = hist[i]
                 print(
                     f"iter. no. {i + 1}: data energy + w_reg * reg energy = "

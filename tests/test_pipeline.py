@@ -179,3 +179,17 @@ def test_checkpoint_orbax_roundtrip(tmp_path, run_3_frames):
     np.testing.assert_array_equal(
         np.asarray(fresh.psi.data), np.asarray(fusion.psi.data)
     )
+
+
+def test_pipeline_compositive_mode(tmp_path):
+    """Full pipeline with SOLVER_MODE=compositive stays finite and fuses."""
+    p = make_params()
+    p.solver_mode = "compositive"
+    p.warp_window = 3
+    fusion = SobFusion(p)
+    for cx in (0.0, 0.004, 0.008):
+        assert fusion(jnp.asarray(render_sphere_depth((cx, 0.0, 0.45), 0.08)))
+    assert fusion.psi.no_nans()
+    assert float(jnp.sum(fusion.phi_global.weight)) > 0
+    mesh = fusion.get_phi_global_mesh()
+    assert mesh.n_triangles > 50
