@@ -23,6 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 
+import jax
+
+# If the env names a backend whose plugin is not registered (e.g.
+# JAX_PLATFORMS=axon left set while the pool override is unset), fall back
+# to automatic platform selection.
+try:
+    jax.devices()
+except RuntimeError:
+    jax.config.update("jax_platforms", "")
+
 import jax.numpy as jnp
 import numpy as np
 
