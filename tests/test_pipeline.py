@@ -193,3 +193,33 @@ def test_pipeline_compositive_mode(tmp_path):
     assert float(jnp.sum(fusion.phi_global.weight)) > 0
     mesh = fusion.get_phi_global_mesh()
     assert mesh.n_triangles > 50
+
+
+def test_tracked_displacement_matches_ground_truth():
+    """After several frames of known x-drift, the deformation field at the
+    object surface must point (in -x) with magnitude near the cumulative
+    drift (psi maps canonical -> live)."""
+    from sobfu_tpu import fields as F
+
+    p = make_params()
+    p.max_iter = 96
+    p.alpha = 0.15
+    fusion = SobFusion(p)
+    drift = 0.0025  # metres per frame, ~0.2 voxels
+    n_frames = 5
+    for i in range(n_frames):
+        depth = render_sphere_depth((drift * i, 0.0, 0.45), 0.08)
+        fusion(jnp.asarray(depth))
+
+    vs = p.volume_size[0] / p.volume_dims[0]
+    total_vox = drift * (n_frames - 1) / vs  # cumulative drift in voxels
+
+    disp = np.asarray(F.displacement(fusion.psi.data))
+    # measure on the narrow band of the canonical surface
+    band = np.abs(np.asarray(fusion.phi_global.tsdf)) < 0.5
+    band &= np.asarray(fusion.phi_global.weight) > 0
+    assert band.sum() > 100
+    mean_dx = disp[0][band].mean()
+    # psi maps canonical voxels to live coords: the live object moved +x
+    assert mean_dx > 0.35 * total_vox, (mean_dx, total_vox)
+    assert abs(disp[1][band].mean()) < 0.5 * total_vox
