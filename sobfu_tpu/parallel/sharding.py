@@ -292,6 +292,10 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
     Z = dims_zyx[0]
     n_z = mesh.shape[axis]
     local_dims = (Z // n_z, dims_zyx[1], dims_zyx[2])
+    assert local_dims[0] >= 4, (
+        f"local z-block {local_dims[0]} smaller than the halo radius 4; "
+        f"use fewer z-shards for a {Z}-deep grid"
+    )
 
     def per_scene(psi_l, tg_l, wg_l, dists, vol2cam, intr, voxel_sizes,
                   trunc, eta, max_weight, taps, alpha, w_reg, max_iter,

@@ -114,3 +114,33 @@ def test_sharded_window_warp_matches_exact():
     np.testing.assert_allclose(
         np.asarray(windowed[2]), np.asarray(exact[2]), atol=1e-5
     )
+
+
+def test_frame_step_with_window_warp():
+    mesh = make_mesh(n_z=4, n_scene=2)
+    dims_zyx = (16, 16, 16)
+    step, shardings = make_frame_step(
+        mesh, dims_zyx, inverse_iters=2, warp_window=2
+    )
+    S = 2
+    vs = 0.25 / 16
+    psi_b = jax.device_put(
+        jnp.broadcast_to(fields.identity_field(dims_zyx)[None], (S, 3) + dims_zyx),
+        shardings["psi"],
+    )
+    ones = jax.device_put(jnp.ones((S,) + dims_zyx, jnp.float32), shardings["vol"])
+    dists_b = jax.device_put(
+        jnp.full((S, 24, 32), 0.5, jnp.float32), shardings["img"])
+    vol2cam = np.eye(4, dtype=np.float32)
+    vol2cam[:3, 3] = (-0.125, -0.125, 0.2)
+    v2c_b = jnp.broadcast_to(jnp.asarray(vol2cam)[None], (S, 4, 4))
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    out = step(
+        psi_b, ones, ones, dists_b, v2c_b,
+        jnp.asarray([20.0, 20.0, 16.0, 12.0], jnp.float32),
+        jnp.asarray([vs, vs, vs], jnp.float32),
+        jnp.float32(10 * vs), jnp.float32(2 * vs), jnp.float32(64.0),
+        taps, jnp.float32(0.05), jnp.float32(0.2),
+        jnp.int32(2), jnp.float32(-1.0),
+    )
+    assert bool(jnp.all(jnp.isfinite(out[2])))

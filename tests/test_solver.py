@@ -321,3 +321,21 @@ def test_compositive_mode_tracks_beyond_window():
     e_after = float(solver.data_energy(phi_g.tsdf, res.tsdf_n_psi))
     assert np.isfinite(e_after)
     assert e_after < 0.8 * e_before, (e_before, e_after)
+
+
+def test_solver_class_verbose_prints_energies(capsys):
+    """The Solver wrapper must reproduce the reference's verbose energy
+    lines (solver.cu:132-142) from the recorded on-device history."""
+    p = make_params(alpha=0.05, max_iter=4, verbosity=2)
+    phi_g = TsdfVolume(p)
+    phi_g.init_sphere((0.065, 0.065, 0.065), 0.01)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((0.064, 0.065, 0.065), 0.01)
+    phi_gpi, phi_np = TsdfVolume(p), TsdfVolume(p)
+    psi, psi_inv = DeformationField(p.volume_dims), DeformationField(p.volume_dims)
+    s = solver.Solver(p)
+    s.estimate_psi(phi_g, phi_gpi, phi_n, phi_np, psi, psi_inv)
+    out = capsys.readouterr().out
+    assert "iter. no. 1:" in out
+    assert "data energy" in out
+    assert "REACHED MAX" in out or "CONVERGED" in out
