@@ -335,3 +335,47 @@ def rasterise_surface(
     have = (jnp.abs(points[..., 2]) > 0) & (norm[..., 0] > 1e-12)
     normals = jnp.where(have[..., None], n / jnp.maximum(norm, 1e-12), 0.0)
     return points, normals
+
+
+# ---------------------------------------------------------------------------
+# rendering (imgproc.hpp:30,42-46 — declared in the reference but, like
+# KinFu::operator(), never implemented there; provided working here)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def render_tangent_colors(normals: jnp.ndarray) -> jnp.ndarray:
+    """Normal map -> RGB tangent colors, uint8 [H, W, 3].
+
+    Standard mapping color = (n * 0.5 + 0.5); invalid (NaN) pixels black.
+    Parity surface for renderTangentColors (imgproc.hpp:30).
+    """
+    valid = ~jnp.isnan(normals[..., 0])
+    rgb = jnp.clip((normals * 0.5 + 0.5) * 255.0, 0, 255)
+    return jnp.where(valid[..., None], rgb, 0.0).astype(jnp.uint8)
+
+
+@jax.jit
+def render_image(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    light_pose: jnp.ndarray,
+) -> jnp.ndarray:
+    """Lambertian + specular shading of a point/normal map -> uint8 [H, W, 3].
+
+    The classic KinectFusion display shader (parity surface for renderImage,
+    imgproc.hpp:42-46): ambient + diffuse(N·L) + Blinn specular, grayscale.
+    """
+    valid = ~jnp.isnan(points[..., 0]) & ~jnp.isnan(normals[..., 0])
+    L = light_pose[None, None, :] - points
+    L = L / jnp.maximum(jnp.linalg.norm(L, axis=-1, keepdims=True), 1e-12)
+    N = normals
+    ndotl = jnp.abs(jnp.sum(N * L, axis=-1))
+    V = -points
+    V = V / jnp.maximum(jnp.linalg.norm(V, axis=-1, keepdims=True), 1e-12)
+    Hv = (L + V)
+    Hv = Hv / jnp.maximum(jnp.linalg.norm(Hv, axis=-1, keepdims=True), 1e-12)
+    spec = jnp.abs(jnp.sum(N * Hv, axis=-1)) ** 16
+    intensity = jnp.clip(0.1 + 0.75 * ndotl + 0.3 * spec, 0.0, 1.0)
+    gray = jnp.where(valid, intensity * 255.0, 0.0)
+    return jnp.repeat(gray[..., None], 3, axis=-1).astype(jnp.uint8)

@@ -96,3 +96,25 @@ def test_rasterise_surface_projects_triangle():
     hit = np.abs(pts[..., 2]) > 0
     assert hit.sum() > 3
     np.testing.assert_allclose(pts[hit][:, 2], z, atol=1e-5)
+
+
+def test_render_tangent_colors():
+    n = jnp.zeros((8, 8, 3), jnp.float32).at[..., 2].set(-1.0)
+    n = n.at[0, 0].set(jnp.nan)
+    img = np.asarray(imgproc.render_tangent_colors(n))
+    assert img.dtype == np.uint8
+    assert (img[0, 0] == 0).all()  # invalid -> black
+    # n = (0,0,-1) -> (127, 127, 0)
+    assert abs(int(img[4, 4, 0]) - 127) <= 1
+    assert img[4, 4, 2] == 0
+
+
+def test_render_image_shades_flat_wall():
+    d = jnp.full((H, W), 1000, jnp.uint16)
+    pts, normals = imgproc.compute_points_normals(d, INTR)
+    img = np.asarray(
+        imgproc.render_image(pts, normals, jnp.asarray([0.0, 0.0, 0.0]))
+    )
+    inner = img[1:-2, 1:-2]
+    assert inner.max() > 150  # lit
+    assert (img[-1] == 0).all()  # last row invalid -> black
