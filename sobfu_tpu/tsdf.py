@@ -204,6 +204,10 @@ class TsdfVolume:
     """Parity surface with reference kfusion::cuda::TsdfVolume.
 
     dims/size are (X, Y, Z)-ordered like the reference; arrays are [Z, Y, X].
+    The reference's getter/setter pairs (getDims/setSize/getPose/...,
+    tsdf_volume.hpp:38-79) are plain Python attributes here: ``dims``,
+    ``size``, ``pose``, ``trunc_dist``, ``eta``, ``max_weight``,
+    ``gradient_delta_factor``.
     """
 
     def __init__(self, params: Params):
@@ -230,6 +234,15 @@ class TsdfVolume:
     def clear(self) -> None:
         self.tsdf = jnp.zeros(self.dims_zyx, jnp.float32)
         self.weight = jnp.zeros(self.dims_zyx, jnp.float32)
+
+    def apply_affine(self, affine: np.ndarray) -> None:
+        """Compose an affine onto the volume pose (reference applyAffine)."""
+        self.pose = (np.asarray(affine, np.float32) @ self.pose).astype(np.float32)
+
+    def swap(self, other: "TsdfVolume") -> None:
+        """Exchange voxel data with another volume (reference swap)."""
+        self.tsdf, other.tsdf = other.tsdf, self.tsdf
+        self.weight, other.weight = other.weight, self.weight
 
     def integrate(self, dists: jnp.ndarray, camera_pose: np.ndarray, intr: Intr) -> None:
         """Depth-map (dists) integration; camera_pose is a 4x4 affine."""

@@ -122,3 +122,23 @@ def test_fusion_weight_clamps_at_max():
     n_w = jnp.full((1, 1, 1), 1.0, jnp.float32)
     _, w = fuse_volumes(g_t, g_w, n_t, n_w, jnp.float32(64.0))
     assert float(w[0, 0, 0]) == 64.0
+
+
+def test_apply_affine_and_swap():
+    p = Params()
+    p.volume_dims = (8, 8, 8)
+    p.volume_size = (0.1, 0.1, 0.1)
+    p.tsdf_trunc_dist = 0.01
+    p.eta = 0.01
+    a, b = TsdfVolume(p), TsdfVolume(p)
+    a.init_sphere((0.05, 0.05, 0.05), 0.03)
+    ta = np.asarray(a.tsdf).copy()
+    a.swap(b)
+    assert float(jnp.abs(a.tsdf).sum()) == 0.0
+    np.testing.assert_array_equal(np.asarray(b.tsdf), ta)
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = (0.0, 0.0, 0.5)
+    pose0 = a.pose.copy()
+    a.apply_affine(T)
+    np.testing.assert_allclose(a.pose, T @ pose0)
