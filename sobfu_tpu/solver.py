@@ -146,6 +146,8 @@ class SolverState(NamedTuple):
     iter: jnp.ndarray         # i32          iterations completed
     max_norm: jnp.ndarray     # f32          last max-update norm
     energy: jnp.ndarray       # f32[cap, 3]  (e_data, e_reg, max_norm) history
+    vel: jnp.ndarray          # f32[3,Z,Y,X] heavy-ball velocity (or scalar 0
+                              # when momentum is disabled — no state cost)
 
 
 class SolveResult(NamedTuple):
@@ -191,6 +193,7 @@ def sobolev_smooth(dU: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
         "pallas_block_z",
         "pallas_tile_y",
         "taps_static",
+        "momentum",
     ),
 )
 def estimate_psi(
@@ -213,6 +216,7 @@ def estimate_psi(
     pallas_block_z: int = 8,
     pallas_tile_y: int = 0,
     taps_static: Optional[Tuple[float, ...]] = None,
+    momentum: Optional[float] = None,
 ) -> SolveResult:
     """Run the full warp-field solve for one frame; everything stays on device.
 
@@ -228,6 +232,11 @@ def estimate_psi(
     kernel (:func:`sobfu_tpu.ops.pallas_kernels.fused_gd_step`) — requires
     warp_window (the fused warp is bounded-window) and grid dims tiling
     evenly by (pallas_block_z, pallas_tile_y).
+
+    momentum: optional heavy-ball coefficient mu (e.g. 0.9) — a TPU
+    extension accelerating the reference's plain gradient descent:
+    v <- mu*v + dU_S; psi <- psi - alpha*v. None (default) reproduces the
+    reference exactly and carries no extra loop state.
     """
     energy0 = jnp.zeros((energy_cap if record_energy else 1, 3), jnp.float32)
 
@@ -275,7 +284,12 @@ def estimate_psi(
             dU = (tsdf_n_psi - tsdf_global)[None] * grad + w_reg * lap
             dU_S = sobolev_smooth(dU, taps)
 
-            update = alpha * dU_S
+            if momentum is not None:
+                vel_new = momentum * state.vel + dU_S
+                update = alpha * vel_new
+            else:
+                vel_new = state.vel
+                update = alpha * dU_S
             psi_new = psi - update
             tsdf_new = warp_scalar(tsdf_n, psi_new)
 
@@ -291,14 +305,18 @@ def estimate_psi(
                 energy, e[None], (jnp.minimum(state.iter, energy_cap - 1), 0)
             )
 
-        return SolverState(psi_new, tsdf_new, state.iter + 1, mnorm, energy)
+        return SolverState(
+            psi_new, tsdf_new, state.iter + 1, mnorm, energy,
+            vel_new if not use_pallas else state.vel,
+        )
 
     def cond(state: SolverState) -> jnp.ndarray:
         return (state.iter < max_iter) & (state.max_norm > max_update_norm_thresh)
 
     tsdf_n_psi0 = warp_scalar(tsdf_n, psi)
+    vel0 = jnp.zeros_like(psi) if momentum is not None else jnp.float32(0.0)
     init = SolverState(
-        psi, tsdf_n_psi0, jnp.int32(0), jnp.float32(jnp.inf), energy0
+        psi, tsdf_n_psi0, jnp.int32(0), jnp.float32(jnp.inf), energy0, vel0
     )
     final = jax.lax.while_loop(cond, gd_step, init)
 
@@ -467,7 +485,9 @@ def estimate_psi_compositive(
         )
 
         mnorm = jnp.sqrt(jnp.max(jnp.sum(update * update, axis=0)))
-        return SolverState(delta_new, tnp_new, state.iter + 1, mnorm, state.energy)
+        return SolverState(
+            delta_new, tnp_new, state.iter + 1, mnorm, state.energy, state.vel
+        )
 
     def cond(state: SolverState) -> jnp.ndarray:
         return (state.iter < max_iter) & (state.max_norm > max_update_norm_thresh)
@@ -478,6 +498,7 @@ def estimate_psi_compositive(
         jnp.int32(0),
         jnp.float32(jnp.inf),
         jnp.zeros((1, 3), jnp.float32),
+        jnp.float32(0.0),
     )
     final = jax.lax.while_loop(cond, gd_step, init)
 
