@@ -91,6 +91,8 @@ class Params:
     # "compositive" = psi0 o (id + delta) — unbounded accumulated
     # deformation with the bounded-window warp (TPU fast mode).
     solver_mode: str = "additive"
+    # heavy-ball momentum coefficient; None = plain GD (reference-faithful).
+    momentum: "float | None" = None
 
     def voxel_sizes(self) -> Tuple[float, float, float]:
         return (
@@ -171,6 +173,8 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         mode = vm["SOLVER_MODE"].strip().lower()
         assert mode in ("additive", "compositive"), mode
         p.solver_mode = mode
+    if "MOMENTUM" in vm:
+        p.momentum = float(vm["MOMENTUM"])
 
     vsx = p.voxel_sizes()[0]
     if "TSDF_TRUNC_DIST" in vm:

@@ -355,6 +355,7 @@ class Solver:
         self.use_pallas = bool(getattr(params, "use_pallas", None) or False)
         self.taps_static = tuple(float(t) for t in np.asarray(self.taps))
         self.mode = getattr(params, "solver_mode", "additive")
+        self.momentum = getattr(params, "momentum", None)
 
     def estimate_psi(self, phi_global, phi_global_psi_inv, phi_n, phi_n_psi,
                      psi, psi_inv) -> SolveResult:
@@ -389,6 +390,7 @@ class Solver:
                 warp_window=self.warp_window,
                 use_pallas=self.use_pallas,
                 taps_static=self.taps_static if self.use_pallas else None,
+                momentum=self.momentum,
             )
         psi.data = res.psi
         psi_inv.data = res.psi_inv
