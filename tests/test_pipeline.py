@@ -252,3 +252,43 @@ def test_cli_viz_flag(tmp_path):
     assert rc == 0
     shots = sorted((scene / "screenshots").iterdir())
     assert len(shots) >= 1
+
+
+def test_cli_resume(tmp_path):
+    """--checkpoint + --resume: a second invocation continues the stream."""
+    from PIL import Image
+    from sobfu_tpu import cli
+
+    scene = tmp_path / "scene"
+    (scene / "depth").mkdir(parents=True)
+    (scene / "color").mkdir()
+    for i, cx in enumerate((0.0, 0.003, 0.006, 0.009)):
+        d = render_sphere_depth((cx, 0.0, 0.45), 0.08)
+        Image.fromarray(d.astype(np.int32), mode="I").convert("I;16").save(
+            scene / "depth" / f"f{i}.png")
+        Image.new("RGB", (W, H)).save(scene / "color" / f"f{i}.png")
+    ini = tmp_path / "p.ini"
+    ini.write_text("\n".join([
+        "VOL_DIMS_X=32", "VOL_DIMS_Y=32", "VOL_DIMS_Z=32",
+        "VOL_SIZE_X=0.4", "VOL_SIZE_Y=0.4", "VOL_SIZE_Z=0.4",
+        "TSDF_TRUNC_DIST=6", "ETA=3",
+        f"INTR_FX={INTR.fx}", f"INTR_FY={INTR.fy}",
+        f"INTR_CX={INTR.cx}", f"INTR_CY={INTR.cy}",
+        "VOL_POSE_T_Z=0.25", "BILATERAL_KERNEL_SIZE=5",
+        "START_FRAME=1", "MAX_ITER=8", "MAX_UPDATE_NORM=-1",
+        "S=7", "LAMBDA=0.1", "ALPHA=0.1", "W_REG=0.2",
+    ]))
+    ck = tmp_path / "ck.npz"
+    rc = cli.main([str(scene), str(ini), "--max-frames", "2",
+                   "--checkpoint", str(ck)])
+    assert rc == 0 and ck.exists()
+    rc = cli.main([str(scene), str(ini), "--resume", str(ck),
+                   "--checkpoint", str(ck)])
+    assert rc == 0
+
+
+def test_models_package_exports():
+    from sobfu_tpu import models
+
+    assert models.SobFusion is SobFusion
+    assert models.KinFu is not None
