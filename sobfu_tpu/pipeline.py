@@ -12,8 +12,10 @@ Parity with the reference SobFusion class (src/sobfu/sob_fusion.cpp):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,6 +24,81 @@ from sobfu_tpu.config import Params
 from sobfu_tpu.fields import DeformationField
 from sobfu_tpu.ops import imgproc
 from sobfu_tpu.tsdf import TsdfVolume
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dims_zyx",
+        "bilateral_kernel_size",
+        "bilateral_sigma_spatial",
+        "bilateral_sigma_depth",
+        "trunc_depth",
+        "warp_window",
+        "inverse_iters",
+        "momentum",
+    ),
+)
+def fused_frame_step(
+    depth,
+    tsdf_g,
+    weight_g,
+    psi,
+    taps,
+    vol2cam,
+    intr_arr,
+    voxel_sizes,
+    trunc_dist,
+    eta,
+    max_weight,
+    alpha,
+    w_reg,
+    max_iter,
+    thresh,
+    *,
+    dims_zyx,
+    bilateral_kernel_size=7,
+    bilateral_sigma_spatial=4.5,
+    bilateral_sigma_depth=0.04,
+    trunc_depth=0.0,
+    warp_window=None,
+    inverse_iters=48,
+    momentum=None,
+):
+    """One COMPLETE non-rigid frame under a single jit: preprocess ->
+    integrate phi_n -> Sobolev solve -> fuse into phi_global.
+
+    The reference dispatched each stage as separate kernel launches
+    (sob_fusion.cpp:71-145); a multi-dispatch Python loop additionally pays
+    a host->device round-trip per stage on a tunneled TPU — fusing the
+    whole frame into one compiled program removes that overhead entirely.
+
+    Returns (tsdf_g', weight_g', SolveResult).
+    """
+    filtered = imgproc.bilateral_filter(
+        depth, bilateral_kernel_size, bilateral_sigma_spatial, bilateral_sigma_depth
+    )
+    if trunc_depth > 0:
+        filtered = imgproc.truncate_depth(filtered, jnp.float32(trunc_depth))
+    dists = imgproc.compute_dists(filtered, intr_arr)
+
+    from sobfu_tpu.tsdf import fuse_volumes, integrate_dists
+
+    zeros = jnp.zeros(dims_zyx, jnp.float32)
+    tn, wn = integrate_dists(
+        zeros, zeros, dists, vol2cam, intr_arr, voxel_sizes,
+        trunc_dist, eta, dims_zyx,
+    )
+
+    res = solver_mod.estimate_psi(
+        psi, tsdf_g, weight_g, tn, wn, taps, alpha, w_reg, max_iter, thresh,
+        warp_window=warp_window, inverse_iters=inverse_iters, momentum=momentum,
+    )
+
+    tg2, wg2 = fuse_volumes(
+        tsdf_g, weight_g, res.tsdf_n_psi, res.weight_n_psi, max_weight
+    )
+    return tg2, wg2, tn, wn, res
 
 
 class SobFusion:
@@ -46,13 +123,8 @@ class SobFusion:
             jnp.float32,
         )
 
-    # -- per-frame entry (reference sob_fusion.cpp:71-145) -------------------
-    def __call__(self, depth: jnp.ndarray, image=None) -> bool:
-        """Process one uint16 depth frame (mm). Returns True."""
+    def _preprocess(self, depth):
         p = self.params
-        if p.verbosity > 0:
-            print(f"--- FRAME NO. {self.frame_counter} ---")
-
         filtered = imgproc.bilateral_filter(
             jnp.asarray(depth),
             p.bilateral_kernel_size,
@@ -63,11 +135,18 @@ class SobFusion:
             filtered = imgproc.truncate_depth(
                 filtered, jnp.float32(p.icp_truncate_depth_dist)
             )
-        dists = imgproc.compute_dists(filtered, self._intr_arr)
+        return imgproc.compute_dists(filtered, self._intr_arr)
+
+    # -- per-frame entry (reference sob_fusion.cpp:71-145) -------------------
+    def __call__(self, depth: jnp.ndarray, image=None) -> bool:
+        """Process one uint16 depth frame (mm). Returns True."""
+        p = self.params
+        if p.verbosity > 0:
+            print(f"--- FRAME NO. {self.frame_counter} ---")
 
         if self.frame_counter == 0:
             self.phi_global = TsdfVolume(p)
-            self.phi_global.integrate(dists, self.poses[-1], p.intr)
+            self.phi_global.integrate(self._preprocess(depth), self.poses[-1], p.intr)
 
             self.phi_global_psi_inv = TsdfVolume(p)
             self.phi_n = TsdfVolume(p)
@@ -80,23 +159,71 @@ class SobFusion:
             self.frame_counter += 1
             return True
 
-        self.phi_n.clear()
-        self.phi_n.integrate(dists, self.poses[-1], p.intr)
-
         if self.frame_counter < p.start_frame:
+            self.phi_n.clear()
+            self.phi_n.integrate(self._preprocess(depth), self.poses[-1], p.intr)
             self.phi_global.integrate_volume(self.phi_n)
             self.frame_counter += 1
             return True
 
-        self.last_solve = self.solver.estimate_psi(
-            self.phi_global,
-            self.phi_global_psi_inv,
-            self.phi_n,
-            self.phi_n_psi,
-            self.psi,
-            self.psi_inv,
+        # single-dispatch fast path: whole frame (preprocess -> integrate ->
+        # solve -> fuse) under one jit. Verbose mode and the compositive /
+        # pallas variants use the staged path instead.
+        use_fused = (
+            p.verbosity == 0
+            and getattr(p, "solver_mode", "additive") == "additive"
+            and not self.solver.use_pallas
         )
-        self.phi_global.integrate_volume(self.phi_n_psi)
+        if use_fused:
+            vol2cam = (
+                np.linalg.inv(np.asarray(self.poses[-1], np.float32))
+                @ self.phi_global.pose
+            )
+            tg2, wg2, tn, wn, res = fused_frame_step(
+                jnp.asarray(depth),
+                self.phi_global.tsdf,
+                self.phi_global.weight,
+                self.psi.data,
+                self.solver.taps,
+                jnp.asarray(vol2cam, jnp.float32),
+                self._intr_arr,
+                jnp.asarray(self.phi_global.voxel_sizes(), jnp.float32),
+                jnp.float32(self.phi_global.trunc_dist),
+                jnp.float32(self.phi_global.eta),
+                jnp.float32(self.phi_global.max_weight),
+                jnp.float32(p.alpha),
+                jnp.float32(p.w_reg),
+                jnp.int32(p.max_iter),
+                jnp.float32(p.max_update_norm),
+                dims_zyx=self.phi_global.dims_zyx,
+                bilateral_kernel_size=p.bilateral_kernel_size,
+                bilateral_sigma_spatial=p.bilateral_sigma_spatial,
+                bilateral_sigma_depth=p.bilateral_sigma_depth,
+                trunc_depth=p.icp_truncate_depth_dist,
+                warp_window=self.solver.warp_window,
+                momentum=self.solver.momentum,
+            )
+            self.phi_n.tsdf, self.phi_n.weight = tn, wn
+            self.psi.data = res.psi
+            self.psi_inv.data = res.psi_inv
+            self.phi_n_psi.tsdf = res.tsdf_n_psi
+            self.phi_n_psi.weight = res.weight_n_psi
+            self.phi_global_psi_inv.tsdf = res.tsdf_global_psi_inv
+            self.phi_global_psi_inv.weight = res.weight_global_psi_inv
+            self.phi_global.tsdf, self.phi_global.weight = tg2, wg2
+            self.last_solve = res
+        else:
+            self.phi_n.clear()
+            self.phi_n.integrate(self._preprocess(depth), self.poses[-1], p.intr)
+            self.last_solve = self.solver.estimate_psi(
+                self.phi_global,
+                self.phi_global_psi_inv,
+                self.phi_n,
+                self.phi_n_psi,
+                self.psi,
+                self.psi_inv,
+            )
+            self.phi_global.integrate_volume(self.phi_n_psi)
 
         self.frame_counter += 1
         return True
