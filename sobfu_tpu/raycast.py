@@ -1,0 +1,142 @@
+"""TSDF raycasting: volume -> depth / point / normal maps from a camera.
+
+The reference carries raycasting parameters (`raycast_step_factor`,
+kinfu.hpp / KinFuParams, tsdf_volume.hpp get/setRaycastStepFactor) but its
+raycast path is dead code — `KinFu::operator()` and `renderImage` are
+declared and never defined. This module provides the working capability:
+classic KinectFusion-style ray marching with zero-crossing refinement.
+
+TPU-native shape: all rays march in lock-step under a `lax.scan` with a
+static step count — no data-dependent loops; the hit test is a masked
+update. Sampling is exact trilinear (`fields.sample_trilinear`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sobfu_tpu import fields
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "max_steps"))
+def raycast(
+    tsdf: jnp.ndarray,        # f32[Z, Y, X], normalised to [-1, 1]
+    weight: jnp.ndarray,      # f32[Z, Y, X]
+    cam2vol: jnp.ndarray,     # f32[4, 4]: camera -> volume-metric coords
+    intr: jnp.ndarray,        # f32[4]: fx, fy, cx, cy
+    voxel_sizes: jnp.ndarray, # f32[3]
+    height: int,
+    width: int,
+    step_m: jnp.ndarray,      # metric step (raycast_step_factor * voxel size)
+    max_steps: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """March every pixel ray through the volume to the first +/- crossing.
+
+    Returns (depth [H,W] metres along camera z, points [H,W,3] camera
+    coords, normals [H,W,3] camera coords); zeros where no surface is hit.
+    """
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    u = jnp.arange(width, dtype=jnp.float32)[None, :]
+    v = jnp.arange(height, dtype=jnp.float32)[:, None]
+    dirs_cam = jnp.stack(
+        [
+            jnp.broadcast_to((u - cx) / fx, (height, width)),
+            jnp.broadcast_to((v - cy) / fy, (height, width)),
+            jnp.ones((height, width), jnp.float32),
+        ],
+        axis=0,
+    )  # [3, H, W], unnormalised (z-step parametrisation)
+
+    R = cam2vol[:3, :3]
+    t0 = cam2vol[:3, 3]
+    dirs_vol = jnp.einsum("ij,jhw->ihw", R, dirs_cam)
+    origin = t0[:, None, None]
+
+    inv_vs = 1.0 / voxel_sizes
+    Z, Y, X = tsdf.shape
+
+    def to_voxel(p_metric):
+        # voxel-unit coordinates of metric point(s): centre of voxel i is
+        # (i + 0.5) * vs  =>  coord = p / vs - 0.5
+        return jnp.stack(
+            [
+                p_metric[0] * inv_vs[0] - 0.5,
+                p_metric[1] * inv_vs[1] - 0.5,
+                p_metric[2] * inv_vs[2] - 0.5,
+            ],
+            axis=0,
+        )
+
+    def sample(p_metric):
+        coords = to_voxel(p_metric)
+        f = fields.sample_trilinear(tsdf, coords)
+        w = fields.sample_nearest_floor(weight, coords)
+        inside = (
+            (coords[0] >= 0) & (coords[0] <= X - 1)
+            & (coords[1] >= 0) & (coords[1] <= Y - 1)
+            & (coords[2] >= 0) & (coords[2] <= Z - 1)
+        )
+        return f, (w > 0) & inside
+
+    def step_fn(carry, i):
+        t_hit, f_prev, valid_prev, found = carry
+        t = (i + 1).astype(jnp.float32) * step_m
+        p = origin + t * dirs_vol
+        f, ok = sample(p)
+        crossing = valid_prev & ok & (f_prev > 0) & (f <= 0) & (~found)
+        # linear zero-crossing refinement between t-step and t
+        denom = jnp.where(jnp.abs(f_prev - f) < 1e-12, 1e-12, f_prev - f)
+        t_ref = t - step_m + step_m * f_prev / denom
+        t_hit = jnp.where(crossing, t_ref, t_hit)
+        found = found | crossing
+        return (t_hit, f, ok, found), None
+
+    init = (
+        jnp.zeros((height, width), jnp.float32),
+        jnp.full((height, width), jnp.inf, jnp.float32),
+        jnp.zeros((height, width), jnp.bool_),
+        jnp.zeros((height, width), jnp.bool_),
+    )
+    (t_hit, _, _, found), _ = jax.lax.scan(
+        step_fn, init, jnp.arange(max_steps, dtype=jnp.int32)
+    )
+
+    depth = jnp.where(found, t_hit, 0.0)  # camera z (z-step parametrisation)
+    points = dirs_cam * depth[None]
+
+    # normals: TSDF gradient at the hit point, rotated into camera coords
+    p_hit = origin + t_hit[None] * dirs_vol
+    g = fields.interpolate_gradient(tsdf, to_voxel(p_hit))  # volume coords
+    g = jnp.einsum("ji,jhw->ihw", R, g)  # R^T: volume -> camera
+    norm = jnp.sqrt(jnp.sum(g * g, axis=0, keepdims=True))
+    normals = jnp.where(
+        found[None] & (norm > 1e-12), g / jnp.maximum(norm, 1e-12), 0.0
+    )
+    return depth, points.transpose(1, 2, 0), normals.transpose(1, 2, 0)
+
+
+def raycast_volume(volume, camera_pose: np.ndarray, intr, height: int,
+                   width: int, step_factor: float = 0.75,
+                   max_steps: int = 512):
+    """Host-facing wrapper over a TsdfVolume (reference raycast_step_factor
+    semantics: step = factor * voxel size)."""
+    cam2vol = np.linalg.inv(np.asarray(volume.pose, np.float32)) @ np.asarray(
+        camera_pose, np.float32
+    )
+    vs = volume.voxel_sizes()
+    return raycast(
+        volume.tsdf,
+        volume.weight,
+        jnp.asarray(cam2vol, jnp.float32),
+        jnp.asarray([intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32),
+        jnp.asarray(vs, jnp.float32),
+        height,
+        width,
+        jnp.float32(step_factor * min(vs)),
+        max_steps=max_steps,
+    )
