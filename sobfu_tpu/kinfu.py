@@ -62,6 +62,12 @@ class KinFuParams:
 
     light_pose: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
+    # True = classic KinectFusion frame-to-MODEL tracking: ICP against the
+    # raycasted TSDF (drift-free at fine grids; accuracy is voxel-bounded,
+    # so coarse grids favour frame-to-frame). The reference declares the
+    # raycast machinery but never wires it (KinFu::operator() undefined).
+    track_against_model: bool = False
+
     @staticmethod
     def default_params() -> "KinFuParams":
         """Reference defaults (kinfu.cpp:10-44)."""
@@ -162,8 +168,27 @@ class KinFu:
             self.frame_counter_ += 1
             return True
 
+        if p.track_against_model:
+            # frame-to-model: render the fused TSDF from the last pose and
+            # track against that (classic KinectFusion; drift-free surface)
+            from sobfu_tpu.raycast import raycast_volume
+
+            H, W = p.rows, p.cols
+            prev_points, prev_normals = [], []
+            for lvl in range(self.icp_.used_levels()):
+                i = p.intr.level(lvl)
+                _, pts, nrm = raycast_volume(
+                    self.volume_, self.poses_[-1], i,
+                    H >> lvl, W >> lvl, p.raycast_step_factor,
+                )
+                invalid = jnp.abs(pts[..., 2]) <= 0
+                prev_points.append(jnp.where(invalid[..., None], jnp.nan, pts))
+                prev_normals.append(jnp.where(invalid[..., None], jnp.nan, nrm))
+        else:
+            prev_points, prev_normals = self._prev_points, self._prev_normals
+
         Tinc, ok = self.icp_.estimate_transform(
-            p.intr, points, normals, self._prev_points, self._prev_normals
+            p.intr, points, normals, prev_points, prev_normals
         )
         if not ok:
             self.reset()

@@ -207,3 +207,32 @@ def test_shipped_scene_configs_load():
     p = load_params(os.path.join(root, "params_umbrella.ini"))
     np.testing.assert_allclose(p.tsdf_trunc_dist, 8.0 * 1.0 / 128)
     assert p.max_iter == 2048 and p.start_frame == 1
+
+
+def test_kinfu_frame_to_model_tracking():
+    """Frame-to-model mode: ICP against the raycasted TSDF tracks a static
+    SMOOTH scene (projective-TSDF integration smears depth discontinuities,
+    so the oracle scene must be continuous) within voxel-scale accuracy."""
+    from sobfu_tpu.config import translation_pose
+    from sobfu_tpu.kinfu import KinFu, KinFuParams
+    from tests.test_pipeline import render_sphere_depth
+
+    H, W = 48, 64
+    p = KinFuParams.default_params()
+    p.cols, p.rows = W, H
+    p.intr = Intr(60.0, 60.0, W / 2 - 0.5, H / 2 - 0.5)
+    p.volume_dims = (48, 48, 48)
+    p.volume_size = (0.6, 0.6, 0.6)
+    p.volume_pose = translation_pose((-0.3, -0.3, 0.25))
+    p.tsdf_trunc_dist = 0.05
+    p.icp_iter_num = (4, 0, 0, 0)
+    p.track_against_model = True
+
+    kf = KinFu(p)
+    depth = render_sphere_depth((0.0, 0.0, 0.45), 0.12)
+    assert kf(jnp.asarray(depth))
+    assert kf(jnp.asarray(depth))
+    pose = kf.get_camera_pose()
+    # voxel size 12.5 mm; require within ~1.5 voxels of identity
+    assert np.linalg.norm(pose[:3, 3]) < 0.02, pose[:3, 3]
+    np.testing.assert_allclose(pose[:3, :3], np.eye(3), atol=0.03)
