@@ -7,8 +7,11 @@ the difference isolates true per-iteration cost.
 Usage: python tools/profile_solver_tpu.py [dim]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

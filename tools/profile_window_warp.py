@@ -1,7 +1,10 @@
 """Loop-scaled timing of the window warp vs gather warp on TPU."""
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
