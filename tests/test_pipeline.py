@@ -292,3 +292,35 @@ def test_models_package_exports():
 
     assert models.SobFusion is SobFusion
     assert models.KinFu is not None
+
+
+def test_fused_and_staged_frame_paths_agree():
+    """The single-jit fused frame step must produce the same state as the
+    staged multi-dispatch path (selected via verbosity)."""
+    import io as _io
+    import contextlib
+
+    def run(verbosity):
+        p = make_params()
+        p.verbosity = verbosity
+        f = SobFusion(p)
+        with contextlib.redirect_stdout(_io.StringIO()):
+            for cx in (0.0, 0.004, 0.008):
+                f(jnp.asarray(render_sphere_depth((cx, 0.0, 0.45), 0.08)))
+        return f
+
+    fused = run(0)      # verbosity 0 -> fused path
+    staged = run(1)     # verbosity 1 -> staged path
+    np.testing.assert_allclose(
+        np.asarray(fused.phi_global.tsdf),
+        np.asarray(staged.phi_global.tsdf),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.psi.data), np.asarray(staged.psi.data), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.phi_global_psi_inv.tsdf),
+        np.asarray(staged.phi_global_psi_inv.tsdf),
+        atol=1e-6,
+    )
