@@ -27,6 +27,7 @@ difference between two iteration counts (loop scaling), median of 3.
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
@@ -91,8 +92,10 @@ def _with_retries(fn, attempts=3, cooldown_s=90):
         except Exception as e:  # noqa: BLE001
             if i == attempts - 1:
                 raise
-            print(f"# bench attempt {i + 1} failed ({str(e)[:120]}); retrying",
-                  file=__import__("sys").stderr)
+            print(
+                f"# bench attempt {i + 1} failed ({str(e)[:120]}); retrying",
+                file=sys.stderr,
+            )
             time.sleep(cooldown_s)
 
 
