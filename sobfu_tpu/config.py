@@ -93,6 +93,9 @@ class Params:
     solver_mode: str = "additive"
     # heavy-ball momentum coefficient; None = plain GD (reference-faithful).
     momentum: "float | None" = None
+    # split the solve state into this many z-chunks (restores XLA fusion on
+    # grids >= 256^3; requires warp_window). None = monolithic.
+    z_chunks: "int | None" = None
 
     def voxel_sizes(self) -> Tuple[float, float, float]:
         return (
@@ -175,6 +178,8 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         p.solver_mode = mode
     if "MOMENTUM" in vm:
         p.momentum = float(vm["MOMENTUM"])
+    if "Z_CHUNKS" in vm:
+        p.z_chunks = int(vm["Z_CHUNKS"])
 
     vsx = p.voxel_sizes()[0]
     if "TSDF_TRUNC_DIST" in vm:

@@ -367,3 +367,47 @@ def test_momentum_accelerates_convergence():
     e_mom = float(solver.data_energy(phi_g.tsdf, mom.tsdf_n_psi))
     assert np.isfinite(e_mom)
     assert e_mom < 0.8 * e_plain, (e_plain, e_mom)
+
+
+def test_chunked_solve_matches_monolithic_window():
+    """The z-chunked large-grid solve must match the monolithic windowed
+    solve (same window semantics, chunk halos transparent)."""
+    p = make_params(alpha=0.1, w_reg=0.4, max_iter=24)
+    phi_g = TsdfVolume(p)
+    phi_g.init_sphere((0.065, 0.065, 0.065), 0.01)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((0.0635, 0.065, 0.065), 0.01)
+    taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
+    args = (jnp.float32(p.alpha), jnp.float32(p.w_reg),
+            jnp.int32(24), jnp.float32(-1.0))
+    psi0 = fields.identity_field((DIM, DIM, DIM))
+
+    def solve(fn, iters, **kw):
+        a = (jnp.float32(p.alpha), jnp.float32(p.w_reg),
+             jnp.int32(iters), jnp.float32(-1.0))
+        return fn(psi0, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight,
+                  taps, *a, **kw)
+
+    # single iteration: identical modulo float-summation order (~1e-6)
+    m1 = solve(solver.estimate_psi, 1, inverse_iters=2, warp_window=2)
+    c1 = solve(solver.estimate_psi_chunked, 1, n_chunks=4, warp_window=2,
+               inverse_iters=2)
+    np.testing.assert_allclose(np.asarray(c1.psi), np.asarray(m1.psi), atol=5e-6)
+
+    # 24 iterations: tiny reassociation differences get amplified by the
+    # gradient flow; require agreement to ~1e-3 voxel
+    mono = solve(solver.estimate_psi, 24, inverse_iters=4, warp_window=2)
+    chunked = solve(solver.estimate_psi_chunked, 24, n_chunks=4,
+                    warp_window=2, inverse_iters=4)
+    np.testing.assert_allclose(
+        np.asarray(chunked.psi), np.asarray(mono.psi), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.tsdf_n_psi), np.asarray(mono.tsdf_n_psi), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(chunked.max_norm), float(mono.max_norm), rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.psi_inv), np.asarray(mono.psi_inv), atol=1e-3
+    )
