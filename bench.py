@@ -39,7 +39,9 @@ import numpy as np
 REFERENCE_VOXEL_ITERS_PER_SEC = 2.0 * 2048 * 64**3  # ~1.07e9 (see docstring)
 
 
-def solve_time_per_iter(dim: int, warp_window: int, n_lo: int, n_hi: int) -> float:
+def solve_time_per_iter(
+    dim: int, warp_window: int, n_lo: int, n_hi: int, n_chunks: int = 0
+) -> float:
     """Median per-iteration seconds of the full solve via loop scaling."""
     from sobfu_tpu import fields, solver
     from sobfu_tpu.tsdf import init_sphere
@@ -55,13 +57,20 @@ def solve_time_per_iter(dim: int, warp_window: int, n_lo: int, n_hi: int) -> flo
 
     def run(iters: int) -> float:
         psi = fields.identity_field(dims)
-        res = solver.estimate_psi(
+        common = (
             psi, tg, wg, tn, wn, taps,
             jnp.float32(0.05), jnp.float32(0.2),
             jnp.int32(iters), jnp.float32(-1.0),  # never converge early
-            inverse_iters=4,
-            warp_window=warp_window,
         )
+        if n_chunks:
+            res = solver.estimate_psi_chunked(
+                *common, n_chunks=n_chunks, warp_window=warp_window,
+                inverse_iters=4,
+            )
+        else:
+            res = solver.estimate_psi(
+                *common, inverse_iters=4, warp_window=warp_window,
+            )
         # materialise scalars: forces completion AND surfaces device faults
         mn = float(res.max_norm)
         assert np.isfinite(mn), "solver produced non-finite update norm"
@@ -116,6 +125,18 @@ def main():
     per_iter_64 = _with_retries(lambda: solve_time_per_iter(dim_ref, K, n_lo, n_hi))
     fps_64 = 1.0 / (per_iter_64 * 2048)
 
+    # scaling point: 256^3 with the z-chunked solve (TPU only)
+    vox_per_sec_256 = None
+    if on_tpu:
+        try:
+            per_iter_256 = _with_retries(
+                lambda: solve_time_per_iter(256, K, 16, 128, n_chunks=8),
+                attempts=2,
+            )
+            vox_per_sec_256 = 256**3 / per_iter_256
+        except Exception:  # noqa: BLE001 — secondary metric, never fatal
+            pass
+
     # end-to-end solve latency at the reference's own workload settings
     frame_s_2048 = per_iter * 2048
     result = {
@@ -129,6 +150,9 @@ def main():
         "per_iter_ms": round(per_iter * 1e3, 4),
         "fps_at_2048_iters": round(1.0 / frame_s_2048, 3),
         f"fps_at_{dim_ref}cubed_2048_iters": round(fps_64, 2),
+        "voxel_iters_per_sec_256cubed_chunked": (
+            round(vox_per_sec_256, 1) if vox_per_sec_256 else None
+        ),
         "reference_fps_headline": 2.0,
         "reference_baseline": "2 fps @ 64^3 x 2048 iters (sm_61 GPU) = 1.07e9 vox-it/s",
     }
