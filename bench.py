@@ -115,7 +115,12 @@ def main():
     n_lo, n_hi = (64, 1024) if on_tpu else (4, 16)
     K = 2
 
-    per_iter = _with_retries(lambda: solve_time_per_iter(dim, K, n_lo, n_hi))
+    # z-chunked state restores XLA fusion at >=128^3 (measured: 1.08 vs
+    # 1.37 ms/iter at 128^3 with 8 chunks); small grids run monolithic
+    chunks = 8 if (on_tpu and dim >= 128) else 0
+    per_iter = _with_retries(
+        lambda: solve_time_per_iter(dim, K, n_lo, n_hi, n_chunks=chunks)
+    )
     voxel_iters_per_sec = dim**3 / per_iter
 
     # the reference's own headline workload: 64^3 at 2048 iters -> ~2 fps
