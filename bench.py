@@ -135,7 +135,7 @@ def main():
     if on_tpu:
         try:
             per_iter_256 = _with_retries(
-                lambda: solve_time_per_iter(256, K, 16, 128, n_chunks=8),
+                lambda: solve_time_per_iter(256, K, 16, 128, n_chunks=32),
                 attempts=2,
             )
             vox_per_sec_256 = 256**3 / per_iter_256
