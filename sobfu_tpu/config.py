@@ -94,7 +94,8 @@ class Params:
     # heavy-ball momentum coefficient; None = plain GD (reference-faithful).
     momentum: "float | None" = None
     # split the solve state into this many z-chunks (restores XLA fusion on
-    # grids >= 256^3; requires warp_window). None = monolithic.
+    # large grids; requires warp_window). None = auto (8 when warp_window is
+    # set and the grid is >= 128 deep); 0 = monolithic.
     z_chunks: "int | None" = None
 
     def voxel_sizes(self) -> Tuple[float, float, float]:

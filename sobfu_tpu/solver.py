@@ -356,7 +356,13 @@ class Solver:
         self.taps_static = tuple(float(t) for t in np.asarray(self.taps))
         self.mode = getattr(params, "solver_mode", "additive")
         self.momentum = getattr(params, "momentum", None)
-        self.z_chunks = getattr(params, "z_chunks", None)
+        z_chunks = getattr(params, "z_chunks", None)
+        if z_chunks is None:
+            # auto: chunked state restores XLA fusion on big grids (see
+            # estimate_psi_chunked); needs the windowed warp
+            Z = params.volume_dims[2]
+            z_chunks = 8 if (self.warp_window and Z >= 128 and Z % 8 == 0) else 0
+        self.z_chunks = int(z_chunks)
 
     def estimate_psi(self, phi_global, phi_global_psi_inv, phi_n, phi_n_psi,
                      psi, psi_inv) -> SolveResult:
