@@ -37,6 +37,7 @@ from sobfu_tpu.tsdf import TsdfVolume
         "warp_window",
         "inverse_iters",
         "momentum",
+        "n_chunks",
     ),
 )
 def fused_frame_step(
@@ -64,6 +65,7 @@ def fused_frame_step(
     warp_window=None,
     inverse_iters=48,
     momentum=None,
+    n_chunks=0,
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -90,10 +92,18 @@ def fused_frame_step(
         trunc_dist, eta, dims_zyx,
     )
 
-    res = solver_mod.estimate_psi(
-        psi, tsdf_g, weight_g, tn, wn, taps, alpha, w_reg, max_iter, thresh,
-        warp_window=warp_window, inverse_iters=inverse_iters, momentum=momentum,
-    )
+    if n_chunks:
+        res = solver_mod.estimate_psi_chunked(
+            psi, tsdf_g, weight_g, tn, wn, taps, alpha, w_reg, max_iter,
+            thresh, n_chunks=n_chunks, warp_window=warp_window or 2,
+            inverse_iters=inverse_iters,
+        )
+    else:
+        res = solver_mod.estimate_psi(
+            psi, tsdf_g, weight_g, tn, wn, taps, alpha, w_reg, max_iter,
+            thresh, warp_window=warp_window, inverse_iters=inverse_iters,
+            momentum=momentum,
+        )
 
     tg2, wg2 = fuse_volumes(
         tsdf_g, weight_g, res.tsdf_n_psi, res.weight_n_psi, max_weight
@@ -202,6 +212,7 @@ class SobFusion:
                 trunc_depth=p.icp_truncate_depth_dist,
                 warp_window=self.solver.warp_window,
                 momentum=self.solver.momentum,
+                n_chunks=self.solver.z_chunks,
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi
