@@ -277,12 +277,35 @@ def sample_trilinear_window_zoffset(
 ) -> jnp.ndarray:
     """Windowed trilinear sampling of a z-BLOCK from a full volume.
 
-    For z-sharded solvers (parallel/sharding.py): psi_local covers global
-    rows [z0, z0 + Zl) with ABSOLUTE coordinates; vol_full is the whole
-    (replicated / all-gathered) volume. Window semantics identical to
+    For z-sharded/chunked solvers: psi_local covers global rows
+    [z0, z0 + Zl) with ABSOLUTE coordinates; vol_full is the whole
+    (replicated / all-gathered / halo-extended) volume, optionally with
+    leading channel dims f32[..., Z, Y, X]. Window semantics identical to
     :func:`sample_trilinear_window`; z0 may be a traced scalar.
     """
-    K = int(max_disp)
+
+    def hat(d, o):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
+
+    return _window_sample_zoffset(
+        vol_full, psi_local, z0, int(max_disp), hat, floor_coords=False
+    )
+
+
+def sample_nearest_floor_window_zoffset(
+    vol_full: jnp.ndarray, psi_local: jnp.ndarray, z0, max_disp: int = 4
+) -> jnp.ndarray:
+    """Windowed floor-corner sampling of a z-block (warped-weight rule)."""
+
+    def mask(d, o):
+        return (d == o).astype(vol_full.dtype)
+
+    return _window_sample_zoffset(
+        vol_full, psi_local, z0, int(max_disp), mask, floor_coords=True
+    )
+
+
+def _window_sample_zoffset(vol_full, psi_local, z0, K, weight_fn, floor_coords):
     Zl = psi_local.shape[-3]
     Z, Y, X = vol_full.shape[-3:]
     zz, yy, xx = jnp.meshgrid(
@@ -291,31 +314,35 @@ def sample_trilinear_window_zoffset(
         jnp.arange(X, dtype=jnp.float32),
         indexing="ij",
     )
-    hi = K - 1e-4
-    dx = jnp.clip(jnp.clip(psi_local[0], 0.0, X - 1) - xx, -K, hi)
-    dy = jnp.clip(jnp.clip(psi_local[1], 0.0, Y - 1) - yy, -K, hi)
-    dz = jnp.clip(jnp.clip(psi_local[2], 0.0, Z - 1) - zz, -K, hi)
+    cx = jnp.clip(psi_local[0], 0.0, X - 1)
+    cy = jnp.clip(psi_local[1], 0.0, Y - 1)
+    cz = jnp.clip(psi_local[2], 0.0, Z - 1)
+    if floor_coords:
+        cx, cy, cz = jnp.floor(cx), jnp.floor(cy), jnp.floor(cz)
+    hi = K if floor_coords else K - 1e-4
+    dx = jnp.clip(cx - xx, -K, hi)
+    dy = jnp.clip(cy - yy, -K, hi)
+    dz = jnp.clip(cz - zz, -K, hi)
 
     P = K
-    vpad = jnp.pad(vol_full, [(P, P)] * 3, mode="edge")
-
-    def hat(d, o):
-        return jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
+    lead = [(0, 0)] * (vol_full.ndim - 3)
+    vpad = jnp.pad(vol_full, lead + [(P, P)] * 3, mode="edge")
+    zax = vol_full.ndim - 3
 
     z0i = jnp.asarray(z0, jnp.int32)
-    out = jnp.zeros(psi_local.shape[1:], vol_full.dtype)
+    out = jnp.zeros(vol_full.shape[:-3] + psi_local.shape[1:], vol_full.dtype)
     for oz in range(-K, K + 1):
-        vz = jax.lax.dynamic_slice_in_dim(vpad, z0i + (P + oz), Zl, axis=0)
+        vz = jax.lax.dynamic_slice_in_dim(vpad, z0i + (P + oz), Zl, axis=zax)
         acc_y = jnp.zeros_like(out)
         for oy in range(-K, K + 1):
-            vzy = jax.lax.slice_in_dim(vz, P + oy, P + oy + Y, axis=1)
+            vzy = jax.lax.slice_in_dim(vz, P + oy, P + oy + Y, axis=zax + 1)
             acc_x = jnp.zeros_like(out)
             for ox in range(-K, K + 1):
-                acc_x = acc_x + hat(dx, ox) * jax.lax.slice_in_dim(
-                    vzy, P + ox, P + ox + X, axis=2
+                acc_x = acc_x + weight_fn(dx, ox) * jax.lax.slice_in_dim(
+                    vzy, P + ox, P + ox + X, axis=zax + 2
                 )
-            acc_y = acc_y + hat(dy, oy) * acc_x
-        out = out + hat(dz, oz) * acc_y
+            acc_y = acc_y + weight_fn(dy, oy) * acc_x
+        out = out + weight_fn(dz, oz) * acc_y
     return out
 
 

@@ -620,8 +620,11 @@ def estimate_psi_chunked(
         outs = []
         for i in range(NC):
             live_e = _chunk_halo(tn_c, i, K, 0, CZ)
+            # live_e's frame: row q <-> global row i*CZ - K + q; the local
+            # block starts at live_e row K, so z0 = K and coordinates shift
+            # into the live_e frame
             p = psis[i].at[2].add(jnp.float32(-(i * CZ - K)))
-            outs.append(fields.sample_trilinear_window_zoffset(live_e, p, 0, K))
+            outs.append(fields.sample_trilinear_window_zoffset(live_e, p, K, K))
         return tuple(outs)
 
     def gd_step(state):
@@ -664,13 +667,57 @@ def estimate_psi_chunked(
     init = (psi_c0, warp_chunks(psi_c0), jnp.int32(0), jnp.float32(jnp.inf))
     psis, tnps, iters, mnorm = jax.lax.while_loop(cond, gd_step, init)
 
+    # ---- inverse field, chunked (the monolithic 48-step fixed point costs
+    # ~80 ms/step at 256^3 — chunking restores fusion here too) ----
+    ident_c = tuple(
+        fields.identity_field((CZ, Y, X)).at[2].add(jnp.float32(i * CZ))
+        for i in range(NC)
+    )
+    disp_c = tuple(p - e for p, e in zip(psis, ident_c))
+
+    def sample_field_chunks(field_chunks, coord_chunks):
+        outs = []
+        for i in range(NC):
+            f_e = _chunk_halo(field_chunks, i, K, 1, CZ)
+            p = coord_chunks[i].at[2].add(jnp.float32(-(i * CZ - K)))
+            outs.append(fields.sample_trilinear_window_zoffset(f_e, p, K, K))
+        return tuple(outs)
+
+    def inv_body(_, inv_c):
+        s = sample_field_chunks(disp_c, inv_c)
+        return tuple(e - d for e, d in zip(ident_c, s))
+
+    inv_c = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_c)
+
+    # ---- tail warps, chunked ----
+    tg_chunks = tg_c
+    wg_chunks = split(weight_global, 0)
+    wn_chunks = split(weight_n, 0)
+
+    def sample_scalar_chunks(vol_chunks, coord_chunks, floor=False):
+        outs = []
+        fn = (
+            fields.sample_nearest_floor_window_zoffset
+            if floor
+            else fields.sample_trilinear_window_zoffset
+        )
+        for i in range(NC):
+            v_e = _chunk_halo(vol_chunks, i, K, 0, CZ)
+            p = coord_chunks[i].at[2].add(jnp.float32(-(i * CZ - K)))
+            outs.append(fn(v_e, p, K, K))
+        return outs
+
+    tsdf_g_inv = jnp.concatenate(sample_scalar_chunks(tg_chunks, inv_c), axis=0)
+    weight_g_inv = jnp.concatenate(
+        sample_scalar_chunks(wg_chunks, inv_c, floor=True), axis=0
+    )
+    weight_n_psi = jnp.concatenate(
+        sample_scalar_chunks(wn_chunks, psis, floor=True), axis=0
+    )
+
     psi_full = jnp.concatenate(psis, axis=1)
     tnp_full = jnp.concatenate(tnps, axis=0)
-
-    psi_inv = fields.estimate_inverse_window(psi_full, inverse_iters, K)
-    tsdf_g_inv = fields.sample_trilinear_window(tsdf_global, psi_inv, K)
-    weight_g_inv = fields.sample_nearest_floor_window(weight_global, psi_inv, K)
-    weight_n_psi = fields.sample_nearest_floor_window(weight_n, psi_full, K)
+    psi_inv = jnp.concatenate(inv_c, axis=1)
 
     return SolveResult(
         psi=psi_full,

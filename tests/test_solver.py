@@ -411,3 +411,34 @@ def test_chunked_solve_matches_monolithic_window():
     np.testing.assert_allclose(
         np.asarray(chunked.psi_inv), np.asarray(mono.psi_inv), atol=1e-3
     )
+
+
+def test_chunked_solve_z_displacement_regression():
+    """Chunked must match monolithic for displacement ALONG Z (regression:
+    a z0 frame mix-up clamped positive z-displacements silently — the
+    x-displacement fixtures never caught it)."""
+    p = make_params(alpha=0.1, w_reg=0.4, max_iter=12)
+    phi_g = TsdfVolume(p)
+    phi_g.init_sphere((0.065, 0.065, 0.065), 0.01)
+    phi_n = TsdfVolume(p)
+    # live sphere shifted +z AND -z mix via two lobes: use +z shift
+    phi_n.init_sphere((0.065, 0.065, 0.0635), 0.01)
+    taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
+    args = (jnp.float32(p.alpha), jnp.float32(p.w_reg),
+            jnp.int32(12), jnp.float32(-1.0))
+    psi0 = fields.identity_field((DIM, DIM, DIM))
+
+    mono = solver.estimate_psi(
+        psi0, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps, *args,
+        inverse_iters=2, warp_window=2,
+    )
+    chunked = solver.estimate_psi_chunked(
+        psi0, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps, *args,
+        n_chunks=4, warp_window=2, inverse_iters=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.psi), np.asarray(mono.psi), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.tsdf_n_psi), np.asarray(mono.tsdf_n_psi), atol=5e-4
+    )
