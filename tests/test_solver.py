@@ -411,6 +411,18 @@ def test_chunked_solve_matches_monolithic_window():
     np.testing.assert_allclose(
         np.asarray(chunked.psi_inv), np.asarray(mono.psi_inv), atol=1e-3
     )
+    # warped weights (floor-corner rule through the z-offset sampler): the
+    # floor index may flip where psi differs by float noise near .0
+    # boundaries, so compare allowing a small fraction of flips
+    wdiff = np.mean(
+        np.asarray(chunked.weight_n_psi) != np.asarray(mono.weight_n_psi)
+    )
+    assert wdiff < 0.01, wdiff
+    gdiff = np.mean(
+        np.asarray(chunked.weight_global_psi_inv)
+        != np.asarray(mono.weight_global_psi_inv)
+    )
+    assert gdiff < 0.01, gdiff
 
 
 def test_chunked_solve_z_displacement_regression():
