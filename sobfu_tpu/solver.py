@@ -387,7 +387,9 @@ class Solver:
         )
         if self.mode == "compositive":
             res = estimate_psi_compositive(
-                *common, warp_window=self.warp_window or 2
+                *common,
+                warp_window=self.warp_window or 2,
+                n_chunks=self.z_chunks,
             )
         elif self.z_chunks:
             res = estimate_psi_chunked(
@@ -439,7 +441,7 @@ class Solver:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("inverse_iters", "warp_window"),
+    static_argnames=("inverse_iters", "warp_window", "n_chunks"),
 )
 def estimate_psi_compositive(
     psi0: jnp.ndarray,
@@ -455,6 +457,7 @@ def estimate_psi_compositive(
     *,
     inverse_iters: int = 48,
     warp_window: int = 2,
+    n_chunks: int = 0,
 ) -> SolveResult:
     """Compositive-update solve: UNBOUNDED total deformation at window speed.
 
@@ -484,6 +487,31 @@ def estimate_psi_compositive(
 
     # one exact (gather) warp per frame: T0 = phi_n o psi0
     t0 = fields.sample_trilinear(tsdf_n, psi0)
+
+    if n_chunks:
+        # delegate the increment solve to the z-chunked machinery: from the
+        # identity against T0, the chunked additive loop IS the compositive
+        # increment flow (L(id + delta) = L(delta))
+        inner = estimate_psi_chunked(
+            ident, tsdf_global, weight_global, t0, weight_n,
+            taps, alpha, w_reg, max_iter, max_update_norm_thresh,
+            n_chunks=n_chunks, warp_window=warp_window, inverse_iters=1,
+        )
+        psi_new = fields.sample_field_trilinear(psi0, inner.psi)
+        psi_inv = fields.estimate_inverse(psi_new, inverse_iters)
+        return SolveResult(
+            psi=psi_new,
+            psi_inv=psi_inv,
+            tsdf_n_psi=inner.tsdf_n_psi,
+            weight_n_psi=fields.sample_nearest_floor(weight_n, psi_new),
+            tsdf_global_psi_inv=fields.sample_trilinear(tsdf_global, psi_inv),
+            weight_global_psi_inv=fields.sample_nearest_floor(
+                weight_global, psi_inv
+            ),
+            iters=inner.iters,
+            max_norm=inner.max_norm,
+            energy=inner.energy,
+        )
 
     def gd_step(state: SolverState) -> SolverState:
         delta, tnp = state.psi, state.tsdf_n_psi  # 'psi' slot holds delta

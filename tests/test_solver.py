@@ -454,3 +454,33 @@ def test_chunked_solve_z_displacement_regression():
     np.testing.assert_allclose(
         np.asarray(chunked.tsdf_n_psi), np.asarray(mono.tsdf_n_psi), atol=5e-4
     )
+
+
+def test_compositive_chunked_matches_monolithic():
+    """Chunked compositive = monolithic compositive (delegated loop)."""
+    p = make_params(alpha=0.1, w_reg=0.4, max_iter=16)
+    vs = SIZE / DIM
+    psi0 = fields.identity_field((DIM, DIM, DIM)).at[0].add(3.0)
+    c = (0.065, 0.065, 0.065)
+    phi_g = TsdfVolume(p)
+    phi_g.init_sphere(c, 0.01)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((c[0] + 3 * vs - 0.8 * vs, c[1], c[2]), 0.01)
+    taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
+    args = (jnp.float32(p.alpha), jnp.float32(p.w_reg),
+            jnp.int32(16), jnp.float32(-1.0))
+
+    mono = solver.estimate_psi_compositive(
+        psi0, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps, *args,
+        inverse_iters=4, warp_window=2,
+    )
+    chunked = solver.estimate_psi_compositive(
+        psi0, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps, *args,
+        inverse_iters=4, warp_window=2, n_chunks=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.psi), np.asarray(mono.psi), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.tsdf_n_psi), np.asarray(mono.tsdf_n_psi), atol=1e-3
+    )
