@@ -484,3 +484,31 @@ def test_compositive_chunked_matches_monolithic():
     np.testing.assert_allclose(
         np.asarray(chunked.tsdf_n_psi), np.asarray(mono.tsdf_n_psi), atol=1e-3
     )
+
+
+def test_auto_chunking_dispatch():
+    """Solver auto-selects the chunked solve for windowed 128-deep grids and
+    produces finite results through the class API."""
+    p = Params()
+    p.volume_dims = (16, 16, 128)  # (X, Y, Z): 128 deep
+    p.volume_size = (0.0625, 0.0625, 0.5)
+    p.tsdf_trunc_dist = 10 * 0.5 / 128
+    p.eta = 2 * 0.5 / 128
+    p.max_iter = 8
+    p.max_update_norm = -1.0
+    p.alpha = 0.05
+    p.warp_window = 2
+    s = solver.Solver(p)
+    assert s.z_chunks == 8
+
+    phi_g = TsdfVolume(p)
+    phi_g.init_sphere((0.03, 0.03, 0.25), 0.015)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((0.03, 0.03, 0.246), 0.015)
+    phi_gpi, phi_np = TsdfVolume(p), TsdfVolume(p)
+    psi = DeformationField(p.volume_dims)
+    psi_inv = DeformationField(p.volume_dims)
+    res = s.estimate_psi(phi_g, phi_gpi, phi_n, phi_np, psi, psi_inv)
+    assert int(res.iters) == 8
+    assert bool(jnp.all(jnp.isfinite(res.psi)))
+    assert psi.no_nans()
