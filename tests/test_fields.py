@@ -241,3 +241,37 @@ def test_interpolate_gradient_and_laplacian_at_identity():
         np.asarray(fields.neg_laplacian(f)),
         atol=1e-6,
     )
+
+
+def test_estimate_inverse_window_matches_exact():
+    dims = (16, 16, 16)
+    psi = fields.identity_field(dims) + 0.6 * jnp.sin(
+        fields.identity_field(dims) * 0.4
+    )
+    inv_exact = fields.estimate_inverse(psi, 16)
+    inv_win = fields.estimate_inverse_window(psi, 16, 3)
+    np.testing.assert_allclose(
+        np.asarray(inv_win), np.asarray(inv_exact), atol=1e-5
+    )
+
+
+def test_zoffset_samplers_match_plain_window():
+    """The z-offset variants with z0=0 and the full volume must equal the
+    plain windowed samplers."""
+    rng = np.random.default_rng(9)
+    dims = (12, 10, 8)
+    vol = jnp.asarray(rng.standard_normal(dims), jnp.float32)
+    psi = fields.identity_field(dims) + jnp.asarray(
+        rng.uniform(-2, 2, (3,) + dims), jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(fields.sample_trilinear_window_zoffset(vol, psi, 0, 3)),
+        np.asarray(fields.sample_trilinear_window(vol, psi, 3)),
+        atol=1e-6,
+    )
+    w = jnp.asarray((rng.random(dims) > 0.5), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fields.sample_nearest_floor_window_zoffset(w, psi, 0, 3)),
+        np.asarray(fields.sample_nearest_floor_window(w, psi, 3)),
+        atol=0,
+    )
