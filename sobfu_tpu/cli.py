@@ -98,6 +98,13 @@ def main(argv=None) -> int:
 
         with timer:
             fusion(jnp.asarray(depth))
+            # Materialise a device scalar inside the timed region: with async
+            # dispatch (and a backend where block_until_ready can return
+            # early) the reported fps would otherwise only measure dispatch.
+            if fusion.last_solve is not None:
+                float(fusion.last_solve.max_norm)
+            else:
+                float(fusion.phi_global.tsdf.ravel()[0])
 
         if args.enable_log and fusion.frame_counter > 1:
             mesh = fusion.get_phi_global_mesh()

@@ -131,7 +131,9 @@ class KinFu:
 
     def get_camera_pose(self, time: int = -1) -> np.ndarray:
         """Reference KinFu::getCameraPose (kinfu.cpp:111-117)."""
-        if time > len(self.poses_) or time < 0:
+        # `>=` (not the reference's `>`): time == len(poses_) would fall
+        # through the guard in kinfu.cpp:111-117 and index out of range.
+        if time >= len(self.poses_) or time < 0:
             time = len(self.poses_) - 1
         return self.poses_[time]
 

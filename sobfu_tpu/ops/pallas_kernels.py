@@ -183,18 +183,21 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
             dU = diff * grad_of(c) + w_reg * neg_lap  # [DZ, DY, X]
 
             # ---- Sobolev smoothing: sum of three 1-D convolutions ----
+            # taps index flipped (n-1-k) so each pass is a true convolution
+            # matching fields.conv1d_replicate for asymmetric taps; identical
+            # for the symmetric shipped Sobolev filters.
             # x: edge-clamped lane shifts on the output row range
             dU_ctr = dU[R:R + BZ, R:R + TY, :]
             acc = jnp.zeros((BZ, TY, X), jnp.float32)
             for k in range(n_taps):
                 sx = k - R
-                acc = acc + taps[k] * _shift_x_edge(dU_ctr, sx, X)
+                acc = acc + taps[n_taps - 1 - k] * _shift_x_edge(dU_ctr, sx, X)
             # y: static slices of the extended dU block
             for k in range(n_taps):
-                acc = acc + taps[k] * dU[R:R + BZ, k:k + TY, :]
+                acc = acc + taps[n_taps - 1 - k] * dU[R:R + BZ, k:k + TY, :]
             # z
             for k in range(n_taps):
-                acc = acc + taps[k] * dU[k:k + BZ, R:R + TY, :]
+                acc = acc + taps[n_taps - 1 - k] * dU[k:k + BZ, R:R + TY, :]
 
             upd = alpha * acc
             psi_out[c] = s_psi[c, pl.ds(_H, BZ), pl.ds(_H, TY), :] - upd
@@ -299,10 +302,10 @@ def fused_gd_step(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(

@@ -109,9 +109,13 @@ def raycast(
     depth = jnp.where(found, t_hit, 0.0)  # camera z (z-step parametrisation)
     points = dirs_cam * depth[None]
 
-    # normals: TSDF gradient at the hit point, rotated into camera coords
+    # normals: TSDF gradient at the hit point, rotated into camera coords.
+    # interpolate_gradient differentiates per voxel INDEX; scale by 1/vs per
+    # axis to get the metric-space gradient before rotating (direction is
+    # only invariant under this scaling for cubic voxels).
     p_hit = origin + t_hit[None] * dirs_vol
-    g = fields.interpolate_gradient(tsdf, to_voxel(p_hit))  # volume coords
+    g = fields.interpolate_gradient(tsdf, to_voxel(p_hit))  # d/d(index)
+    g = g * inv_vs[:, None, None]  # d/d(metres), volume coords
     g = jnp.einsum("ji,jhw->ihw", R, g)  # R^T: volume -> camera
     norm = jnp.sqrt(jnp.sum(g * g, axis=0, keepdims=True))
     normals = jnp.where(

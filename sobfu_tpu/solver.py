@@ -390,12 +390,19 @@ class Solver:
                 *common,
                 warp_window=self.warp_window or 2,
                 n_chunks=self.z_chunks,
+                record_energy=record,
+                energy_cap=p.max_iter if record else 0,
             )
-        elif self.z_chunks:
+        elif self.z_chunks and not self.use_pallas:
+            # chunked supports momentum + energy recording; use_pallas wins
+            # over (auto-)chunking because the fused kernel is monolithic.
             res = estimate_psi_chunked(
                 *common,
                 n_chunks=self.z_chunks,
                 warp_window=self.warp_window or 2,
+                record_energy=record,
+                energy_cap=p.max_iter if record else 0,
+                momentum=self.momentum,
             )
         else:
             res = estimate_psi(
@@ -441,7 +448,9 @@ class Solver:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("inverse_iters", "warp_window", "n_chunks"),
+    static_argnames=(
+        "inverse_iters", "warp_window", "n_chunks", "record_energy", "energy_cap",
+    ),
 )
 def estimate_psi_compositive(
     psi0: jnp.ndarray,
@@ -458,6 +467,8 @@ def estimate_psi_compositive(
     inverse_iters: int = 48,
     warp_window: int = 2,
     n_chunks: int = 0,
+    record_energy: bool = False,
+    energy_cap: int = 0,
 ) -> SolveResult:
     """Compositive-update solve: UNBOUNDED total deformation at window speed.
 
@@ -496,6 +507,7 @@ def estimate_psi_compositive(
             ident, tsdf_global, weight_global, t0, weight_n,
             taps, alpha, w_reg, max_iter, max_update_norm_thresh,
             n_chunks=n_chunks, warp_window=warp_window, inverse_iters=1,
+            record_energy=record_energy, energy_cap=energy_cap,
         )
         psi_new = fields.sample_field_trilinear(psi0, inner.psi)
         psi_inv = fields.estimate_inverse(psi_new, inverse_iters)
@@ -528,8 +540,22 @@ def estimate_psi_compositive(
         )
 
         mnorm = jnp.sqrt(jnp.max(jnp.sum(update * update, axis=0)))
+
+        energy = state.energy
+        if record_energy:
+            # reg term covers the CURRENT increment (delta), not the composed
+            # total field — computing the latter would need a full composition
+            # per iteration; data term and max-norm match the reference's.
+            J = fields.jacobian(delta)
+            e = jnp.stack(
+                [data_energy(tsdf_global, tnp), 0.5 * jnp.sum(J * J), mnorm]
+            )
+            energy = jax.lax.dynamic_update_slice(
+                energy, e[None], (jnp.minimum(state.iter, energy_cap - 1), 0)
+            )
+
         return SolverState(
-            delta_new, tnp_new, state.iter + 1, mnorm, state.energy, state.vel
+            delta_new, tnp_new, state.iter + 1, mnorm, energy, state.vel
         )
 
     def cond(state: SolverState) -> jnp.ndarray:
@@ -540,7 +566,7 @@ def estimate_psi_compositive(
         t0,
         jnp.int32(0),
         jnp.float32(jnp.inf),
-        jnp.zeros((1, 3), jnp.float32),
+        jnp.zeros((energy_cap if record_energy else 1, 3), jnp.float32),
         jnp.float32(0.0),
     )
     final = jax.lax.while_loop(cond, gd_step, init)
@@ -596,7 +622,14 @@ def _chunk_halo(chunks, i, h, ax, cz):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_chunks", "warp_window", "inverse_iters"),
+    static_argnames=(
+        "n_chunks",
+        "warp_window",
+        "inverse_iters",
+        "record_energy",
+        "energy_cap",
+        "momentum",
+    ),
 )
 def estimate_psi_chunked(
     psi: jnp.ndarray,
@@ -613,14 +646,25 @@ def estimate_psi_chunked(
     n_chunks: int = 8,
     warp_window: int = 2,
     inverse_iters: int = 48,
+    record_energy: bool = False,
+    energy_cap: int = 0,
+    momentum: Optional[float] = None,
 ) -> SolveResult:
-    """Windowed-warp solve with z-chunked state (bit-equal to
-    ``estimate_psi(..., warp_window=...)``; use for grids >= 256^3)."""
+    """Windowed-warp solve with z-chunked state (numerically equivalent to
+    ``estimate_psi(..., warp_window=...)`` — same window semantics, same
+    stencils; association order of the z-convolution differs, so agreement
+    is to float32 round-off, not bit-exact). Use for grids >= 256^3.
+
+    Supports the same ``momentum`` (heavy-ball) extension and per-iteration
+    ``(e_data, e_reg, max_norm)`` energy recording as the monolithic solve,
+    so verbose logging and accelerated modes work on chunked grids too.
+    """
     Z, Y, X = tsdf_n.shape
     assert Z % n_chunks == 0, (Z, n_chunks)
     CZ = Z // n_chunks
     K = warp_window
-    R = taps.shape[0] // 2
+    S = taps.shape[0]
+    R = S // 2
     NC = n_chunks
 
     def split(a, ax):
@@ -632,6 +676,10 @@ def estimate_psi_chunked(
     tg_c = split(tsdf_global, 0)
     tn_c = split(tsdf_n, 0)
     psi_c0 = split(psi, 1)
+    ident_c = tuple(
+        fields.identity_field((CZ, Y, X)).at[2].add(jnp.float32(i * CZ))
+        for i in range(NC)
+    )
 
     def zmask(i):
         m = jnp.ones((CZ, 1, 1), jnp.float32)
@@ -655,8 +703,27 @@ def estimate_psi_chunked(
             outs.append(fields.sample_trilinear_window_zoffset(live_e, p, K, K))
         return tuple(outs)
 
+    def chunked_energies(psis, tnps):
+        """(e_data, e_reg) with the monolithic boundary semantics: x/y
+        derivatives vanish on their boundary slices (central_diff), z
+        derivatives vanish on the GLOBAL z boundary (masks)."""
+        e_data = jnp.float32(0.0)
+        e_reg = jnp.float32(0.0)
+        disps = tuple(p - e for p, e in zip(psis, ident_c))
+        for i in range(NC):
+            d = tnps[i] - tg_c[i]
+            e_data = e_data + 0.5 * jnp.sum(d * d)
+            disp_e = _chunk_halo(disps, i, 1, 1, CZ)
+            jx = fields.central_diff(disps[i], -1)
+            jy = fields.central_diff(disps[i], -2)
+            jz = (disp_e[:, 2:] - disp_e[:, :-2]) * 0.5 * masks[i]
+            e_reg = e_reg + 0.5 * (
+                jnp.sum(jx * jx) + jnp.sum(jy * jy) + jnp.sum(jz * jz)
+            )
+        return e_data, e_reg
+
     def gd_step(state):
-        psis, tnps, it, _ = state
+        psis, tnps, it, _, energy, vels = state
         dUs = []
         for i in range(NC):
             tnp_e = _chunk_halo(tnps, i, 1, 0, CZ)
@@ -674,33 +741,58 @@ def estimate_psi_chunked(
             dUs.append((tnps[i] - tg_c[i])[None] * grad + w_reg * lap)
 
         new_psis = []
+        new_vels = []
         mns = []
         for i in range(NC):
             dU_e = _chunk_halo(dUs, i, R, 1, CZ)
             acc = fields.conv1d_replicate(dUs[i], taps, -1) + fields.conv1d_replicate(
                 dUs[i], taps, -2
             )
-            for k in range(taps.shape[0]):
-                acc = acc + taps[k] * dU_e[:, k : k + CZ]
-            upd = alpha * acc
+            # taps index flipped (S-1-k) to match conv1d_replicate's true-
+            # convolution orientation for asymmetric taps; identical for the
+            # symmetric Sobolev filters actually shipped.
+            for k in range(S):
+                acc = acc + taps[S - 1 - k] * dU_e[:, k : k + CZ]
+            if momentum is not None:
+                v = momentum * vels[i] + acc
+                new_vels.append(v)
+                upd = alpha * v
+            else:
+                upd = alpha * acc
             new_psis.append(psis[i] - upd)
             mns.append(jnp.max(jnp.sum(upd * upd, 0)))
         new_psis = tuple(new_psis)
+        new_vels = tuple(new_vels) if momentum is not None else vels
         mnorm = jnp.sqrt(jnp.max(jnp.stack(mns)))
-        return new_psis, warp_chunks(new_psis), it + 1, mnorm
+
+        if record_energy:
+            e_data, e_reg = chunked_energies(psis, tnps)
+            e = jnp.stack([e_data, e_reg, mnorm])
+            energy = jax.lax.dynamic_update_slice(
+                energy, e[None], (jnp.minimum(it, energy_cap - 1), 0)
+            )
+
+        return new_psis, warp_chunks(new_psis), it + 1, mnorm, energy, new_vels
 
     def cond(state):
         return (state[2] < max_iter) & (state[3] > max_update_norm_thresh)
 
-    init = (psi_c0, warp_chunks(psi_c0), jnp.int32(0), jnp.float32(jnp.inf))
-    psis, tnps, iters, mnorm = jax.lax.while_loop(cond, gd_step, init)
+    energy0 = jnp.zeros((energy_cap if record_energy else 1, 3), jnp.float32)
+    vels0 = (
+        tuple(jnp.zeros_like(p) for p in psi_c0)
+        if momentum is not None
+        else jnp.float32(0.0)
+    )
+    init = (
+        psi_c0, warp_chunks(psi_c0), jnp.int32(0), jnp.float32(jnp.inf),
+        energy0, vels0,
+    )
+    psis, tnps, iters, mnorm, energy_hist, _ = jax.lax.while_loop(
+        cond, gd_step, init
+    )
 
     # ---- inverse field, chunked (the monolithic 48-step fixed point costs
     # ~80 ms/step at 256^3 — chunking restores fusion here too) ----
-    ident_c = tuple(
-        fields.identity_field((CZ, Y, X)).at[2].add(jnp.float32(i * CZ))
-        for i in range(NC)
-    )
     disp_c = tuple(p - e for p, e in zip(psis, ident_c))
 
     def sample_field_chunks(field_chunks, coord_chunks):
@@ -756,5 +848,5 @@ def estimate_psi_chunked(
         weight_global_psi_inv=weight_g_inv,
         iters=iters,
         max_norm=mnorm,
-        energy=jnp.zeros((1, 3), jnp.float32),
+        energy=energy_hist,
     )
