@@ -97,6 +97,15 @@ class Params:
     # large grids; requires warp_window). None = auto (8 when warp_window is
     # set and the grid is >= 128 deep); 0 = monolithic.
     z_chunks: "int | None" = None
+    # evaluate the Sobolev axis convolutions as banded-matrix contractions
+    # on the MXU instead of shifted VPU passes. None = auto (on for TPU
+    # backends, off on CPU where there is no systolic array to win on).
+    conv_mxu: "bool | None" = None
+    # compositive mode only: maintain psi_inv incrementally across frames
+    # (invert the bounded increment with the window sampler + compose with
+    # the previous inverse + exact refinement anchor) instead of 48 exact
+    # gathers from identity each frame. None = on (compositive default).
+    incremental_inverse: "bool | None" = None
 
     def voxel_sizes(self) -> Tuple[float, float, float]:
         return (
@@ -181,6 +190,12 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         p.momentum = float(vm["MOMENTUM"])
     if "Z_CHUNKS" in vm:
         p.z_chunks = int(vm["Z_CHUNKS"])
+    if "CONV_MXU" in vm:
+        p.conv_mxu = vm["CONV_MXU"].strip().lower() in ("1", "true", "yes")
+    if "INCREMENTAL_INV" in vm:
+        p.incremental_inverse = vm["INCREMENTAL_INV"].strip().lower() in (
+            "1", "true", "yes",
+        )
 
     vsx = p.voxel_sizes()[0]
     if "TSDF_TRUNC_DIST" in vm:

@@ -89,6 +89,94 @@ def conv1d_replicate(f: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.ndarra
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _conv_shift_mats(s: int, n: int) -> np.ndarray:
+    """Static 0/1 shift matrices P[j, u, i] = 1[clamp(i + j - r) == u].
+
+    P[j] @ projects f onto its edge-clamped shift by (j - r); a weighted sum
+    over j with the (flipped) taps yields the banded+corner conv matrix used
+    by :func:`conv1d_replicate_mxu`.
+    """
+    r = s // 2
+    P = np.zeros((s, n, n), np.float32)
+    i = np.arange(n)
+    for jj in range(s):
+        u = np.clip(i + (jj - r), 0, n - 1)
+        P[jj, u, i] = 1.0
+    return P
+
+
+def conv1d_replicate_mxu(f: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """:func:`conv1d_replicate` evaluated as ONE banded-matrix contraction.
+
+    out[..., i] = sum_u f[..., u] * A[u, i] with
+    A[u, i] = sum_j taps[r - j] * 1[clamp(i + j) == u] — numerically the same
+    replicate-pad correlation (f32 round-off differs: the MXU accumulates a
+    dot product instead of a shifted-add chain). On TPU the contraction runs
+    on the systolic array, replacing ``s`` full-volume shifted FMA passes
+    with a single matmul whose (n x n) operand lives in VMEM — the hot-loop
+    Sobolev convolutions (solver.cu:237-459) become MXU work instead of VPU
+    streaming passes.
+    """
+    s = int(taps.shape[0])
+    axis = axis % f.ndim
+    n = f.shape[axis]
+    P = jnp.asarray(_conv_shift_mats(s, n))
+    A = jnp.einsum("j,jui->ui", taps[::-1], P)
+    # contract `axis` of f with dim 0 of A, placing the result dim back in
+    # position via dot_general (XLA keeps the lane axis resident when axis
+    # is not the minor one)
+    sub_in = list(range(f.ndim))
+    sub_out = list(range(f.ndim))
+    sub_in[axis] = f.ndim  # 'u'
+    out = jnp.einsum(
+        f,
+        sub_in,
+        A,
+        [f.ndim, axis],
+        sub_out,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_valid_shift_mats(s: int, n_in: int) -> np.ndarray:
+    """Static 0/1 matrices Q[k, u, i] = 1[u == i + k] of shape (s, n_in, n_in - s + 1)."""
+    n_out = n_in - s + 1
+    Q = np.zeros((s, n_in, n_out), np.float32)
+    i = np.arange(n_out)
+    for k in range(s):
+        Q[k, i + k, i] = 1.0
+    return Q
+
+
+def conv1d_valid_mxu(f_ext: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Valid-mode banded-matmul convolution of an already-extended input.
+
+    out[..., i, ...] = sum_k taps[s-1-k] * f_ext[..., i+k, ...] — the halo
+    (s//2 rows each side) must already be present in ``f_ext`` along ``axis``.
+    Matches the z-convolution of the chunked solve (explicit neighbour halos)
+    as one MXU contraction.
+    """
+    s = int(taps.shape[0])
+    axis = axis % f_ext.ndim
+    n_in = f_ext.shape[axis]
+    Q = jnp.asarray(_conv_valid_shift_mats(s, n_in))
+    B = jnp.einsum("k,kui->ui", taps[::-1], Q)
+    sub_in = list(range(f_ext.ndim))
+    sub_out = list(range(f_ext.ndim))
+    sub_in[axis] = f_ext.ndim
+    return jnp.einsum(
+        f_ext,
+        sub_in,
+        B,
+        [f_ext.ndim, axis],
+        sub_out,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 # ---------------------------------------------------------------------------
 # deformation field
 # ---------------------------------------------------------------------------

@@ -8,10 +8,14 @@ with `shard_map`:
     (`lax.ppermute` of boundary slices) — the z-stencil radius is 1 and the
     Sobolev convolution radius is 3, so one 4-slice exchange per iteration
     covers both;
-  * the live TSDF `phi_n` is all-gathered ONCE per solve (it is constant
-    during the gradient descent), which makes the trilinear warp gather
-    exact — no bound on displacement — while psi and all per-iteration
-    state stay sharded;
+  * warp sources come in two modes. Exact mode (warp_window=None): the
+    live TSDF `phi_n` is all-gathered ONCE per solve (it is constant during
+    the gradient descent), making the trilinear warp gather exact with no
+    bound on displacement. Windowed mode (warp_window=K): every full-volume
+    materialisation — live warp source, inverse-field displacement, tail
+    warps of phi_global/weights — is replaced by a K-halo exchange plus the
+    bounded-window zoffset sampler, so per-device memory stays at
+    block + halo even at 512^3 (the memory-scalable production path);
   * the convergence norm is a `lax.pmax` — the loop predicate never leaves
     the devices;
   * scene-level data parallelism is a `vmap` over a leading scene axis laid
@@ -124,14 +128,35 @@ def _zmask(n_local: int, h_is_first, h_is_last, dtype=jnp.float32) -> jnp.ndarra
 # ---------------------------------------------------------------------------
 
 
+def _sample_window_local(vol_e, coords_l, z0, K, floor=False):
+    """Windowed sampling of a local z-block from its K-halo-extended volume.
+
+    vol_e: local block + K halo rows each side [.., Zl+2K, Y, X];
+    coords_l: ABSOLUTE (global) coordinates of the local block's voxels;
+    z0: global z offset of the local block. Shifts coordinates into the
+    extended-local frame (edge-replicated halos at the global boundary make
+    the local coordinate clamp equivalent to the reference's global clamp).
+    """
+    p = coords_l.at[2].add(-(jnp.asarray(z0, jnp.float32) - K))
+    fn = (
+        fields.sample_nearest_floor_window_zoffset
+        if floor
+        else fields.sample_trilinear_window_zoffset
+    )
+    return fn(vol_e, p, K, K)
+
+
 def _gd_step_local(
-    psi_l, tnp_l, tsdf_g_l, tsdf_n_full, taps, alpha, w_reg, z0, axis_name,
+    psi_l, tnp_l, tsdf_g_l, tsdf_n_src, taps, alpha, w_reg, z0, axis_name,
     warp_window=None,
 ):
     """One gradient-descent step on a local z-block (runs inside shard_map).
 
-    psi_l/tnp_l/tsdf_g_l: local blocks [.., Zl, Y, X]; tsdf_n_full: the full
-    live volume (replicated); z0: global z offset of this block.
+    psi_l/tnp_l/tsdf_g_l: local blocks [.., Zl, Y, X]. tsdf_n_src is the
+    warp source for the live tsdf: the FULL volume (replicated) when
+    warp_window is None, or the K-halo-extended LOCAL block when
+    warp_window=K — the memory-scalable path, where nothing full-sized is
+    ever materialised per device.
     warp_window: None = exact XLA gather warp; int = gather-free bounded
     window (the TPU-fast path, see fields.sample_trilinear_window_zoffset).
     """
@@ -169,13 +194,11 @@ def _gd_step_local(
     update = alpha * dU_S
     psi_new = psi_l - update
 
-    # psi holds GLOBAL coords; sample the full live volume
+    # psi holds GLOBAL coords; sample the live volume (full or halo-extended)
     if warp_window is None:
-        tnp_new = fields.sample_trilinear(tsdf_n_full, psi_new)
+        tnp_new = fields.sample_trilinear(tsdf_n_src, psi_new)
     else:
-        tnp_new = fields.sample_trilinear_window_zoffset(
-            tsdf_n_full, psi_new, z0, warp_window
-        )
+        tnp_new = _sample_window_local(tsdf_n_src, psi_new, z0, warp_window)
 
     mnorm = jnp.sqrt(jnp.max(jnp.sum(update * update, axis=0)))
     mnorm = jax.lax.pmax(mnorm, axis_name)
@@ -194,10 +217,20 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
 
     def local_solve(psi_l, tg_l, wg_l, tn_l, wn_l, taps, alpha, w_reg,
                     max_iter, thresh):
-        # all-gather the live volume once; it is read-only during the solve
-        tsdf_n_full = jax.lax.all_gather(tn_l, axis, axis=0, tiled=True)
         n_local = psi_l.shape[-3]
         z0 = jax.lax.axis_index(axis) * n_local
+        K = warp_window
+
+        # warp source for the live volume: one all-gather (exact-gather
+        # mode) or one K-halo exchange (windowed mode — per-device memory
+        # stays at block + halo, never the full volume); it is read-only
+        # during the solve so either happens ONCE per solve.
+        if K is None:
+            tn_src = jax.lax.all_gather(tn_l, axis, axis=0, tiled=True)
+            tnp0 = fields.sample_trilinear(tn_src, psi_l)
+        else:
+            tn_src = _halo_exchange_z(tn_l, K, axis)
+            tnp0 = _sample_window_local(tn_src, psi_l, z0, K)
 
         def cond(state):
             _, _, it, mn = state
@@ -206,35 +239,57 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
         def body(state):
             psi_l, tnp_l, it, _ = state
             psi_l, tnp_l, mnorm = _gd_step_local(
-                psi_l, tnp_l, tg_l, tsdf_n_full, taps, alpha, w_reg, z0, axis,
+                psi_l, tnp_l, tg_l, tn_src, taps, alpha, w_reg, z0, axis,
                 warp_window,
             )
             return psi_l, tnp_l, it + 1, mnorm
 
-        tnp0 = fields.sample_trilinear(tsdf_n_full, psi_l)
         psi_l, tnp_l, iters, mnorm = jax.lax.while_loop(
             cond, body, (psi_l, tnp0, jnp.int32(0), jnp.float32(jnp.inf))
         )
 
-        # inverse field: needs the full displacement field for its gathers
-        psi_full = jax.lax.all_gather(psi_l, axis, axis=1, tiled=True)
-        ident_full = fields.identity_field(psi_full.shape[1:], psi_full.dtype)
-        disp_full = psi_full - ident_full
-        ident_l = jax.lax.dynamic_slice_in_dim(ident_full, z0, n_local, axis=1)
+        ident_l = fields.identity_field(
+            (n_local,) + psi_l.shape[-2:], psi_l.dtype
+        ).at[2].add(z0.astype(psi_l.dtype))
 
-        def inv_body(_, inv_l):
-            return ident_l - fields.sample_field_trilinear(disp_full, inv_l)
+        if K is None:
+            # inverse field: needs the full displacement field for its gathers
+            psi_full = jax.lax.all_gather(psi_l, axis, axis=1, tiled=True)
+            ident_full = fields.identity_field(
+                psi_full.shape[1:], psi_full.dtype
+            )
+            disp_full = psi_full - ident_full
 
-        psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
+            def inv_body(_, inv_l):
+                return ident_l - fields.sample_field_trilinear(disp_full, inv_l)
 
-        # warp the global volume by psi_inv (needs full phi_global)
-        tg_full = jax.lax.all_gather(tg_l, axis, axis=0, tiled=True)
-        wg_full = jax.lax.all_gather(wg_l, axis, axis=0, tiled=True)
-        tgi_l = fields.sample_trilinear(tg_full, psi_inv_l)
-        wgi_l = fields.sample_nearest_floor(wg_full, psi_inv_l)
+            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
 
-        wn_full = jax.lax.all_gather(wn_l, axis, axis=0, tiled=True)
-        wnp_l = fields.sample_nearest_floor(wn_full, psi_l)
+            # warp the global volume by psi_inv (needs full phi_global)
+            tg_full = jax.lax.all_gather(tg_l, axis, axis=0, tiled=True)
+            wg_full = jax.lax.all_gather(wg_l, axis, axis=0, tiled=True)
+            tgi_l = fields.sample_trilinear(tg_full, psi_inv_l)
+            wgi_l = fields.sample_nearest_floor(wg_full, psi_inv_l)
+
+            wn_full = jax.lax.all_gather(wn_l, axis, axis=0, tiled=True)
+            wnp_l = fields.sample_nearest_floor(wn_full, psi_l)
+        else:
+            # windowed inverse: psi_inv stays within K of the identity, so a
+            # single K-halo exchange of the (fixed) displacement field feeds
+            # every fixed-point step — no full-field materialisation.
+            disp_e = _halo_exchange_z(psi_l - ident_l, K, axis)
+
+            def inv_body(_, inv_l):
+                return ident_l - _sample_window_local(disp_e, inv_l, z0, K)
+
+            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
+
+            tg_e = _halo_exchange_z(tg_l, K, axis)
+            wg_e = _halo_exchange_z(wg_l, K, axis)
+            wn_e = _halo_exchange_z(wn_l, K, axis)
+            tgi_l = _sample_window_local(tg_e, psi_inv_l, z0, K)
+            wgi_l = _sample_window_local(wg_e, psi_inv_l, z0, K, floor=True)
+            wnp_l = _sample_window_local(wn_e, psi_l, z0, K, floor=True)
 
         return psi_l, psi_inv_l, tnp_l, wnp_l, tgi_l, wgi_l, iters, mnorm
 
@@ -305,8 +360,14 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
             jnp.zeros_like(tg_l), jnp.zeros_like(wg_l), dists, vol2cam, intr,
             voxel_sizes, trunc, eta, local_dims, z0,
         )
+        K = warp_window
 
-        tsdf_n_full = jax.lax.all_gather(tn_l, axis, axis=0, tiled=True)
+        if K is None:
+            tn_src = jax.lax.all_gather(tn_l, axis, axis=0, tiled=True)
+            tnp0 = fields.sample_trilinear(tn_src, psi_l)
+        else:
+            tn_src = _halo_exchange_z(tn_l, K, axis)
+            tnp0 = _sample_window_local(tn_src, psi_l, z0, K)
 
         def cond(state):
             _, _, it, mn = state
@@ -315,30 +376,43 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
         def body(state):
             psi_l, tnp_l, it, _ = state
             psi_l, tnp_l, mnorm = _gd_step_local(
-                psi_l, tnp_l, tg_l, tsdf_n_full, taps, alpha, w_reg, z0, axis,
+                psi_l, tnp_l, tg_l, tn_src, taps, alpha, w_reg, z0, axis,
                 warp_window,
             )
             return psi_l, tnp_l, it + 1, mnorm
 
-        tnp0 = fields.sample_trilinear(tsdf_n_full, psi_l)
         psi_l, tnp_l, iters, mnorm = jax.lax.while_loop(
             cond, body, (psi_l, tnp0, jnp.int32(0), jnp.float32(jnp.inf))
         )
 
-        psi_full = jax.lax.all_gather(psi_l, axis, axis=1, tiled=True)
-        ident_full = fields.identity_field(psi_full.shape[1:], psi_full.dtype)
-        disp_full = psi_full - ident_full
-        ident_l = jax.lax.dynamic_slice_in_dim(
-            ident_full, z0, local_dims[0], axis=1
-        )
+        ident_l = fields.identity_field(
+            (local_dims[0],) + psi_l.shape[-2:], psi_l.dtype
+        ).at[2].add(z0.astype(psi_l.dtype))
 
-        def inv_body(_, inv_l):
-            return ident_l - fields.sample_field_trilinear(disp_full, inv_l)
+        if K is None:
+            psi_full = jax.lax.all_gather(psi_l, axis, axis=1, tiled=True)
+            ident_full = fields.identity_field(
+                psi_full.shape[1:], psi_full.dtype
+            )
+            disp_full = psi_full - ident_full
 
-        psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
+            def inv_body(_, inv_l):
+                return ident_l - fields.sample_field_trilinear(disp_full, inv_l)
 
-        wn_full = jax.lax.all_gather(wn_l, axis, axis=0, tiled=True)
-        wnp_l = fields.sample_nearest_floor(wn_full, psi_l)
+            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
+
+            wn_full = jax.lax.all_gather(wn_l, axis, axis=0, tiled=True)
+            wnp_l = fields.sample_nearest_floor(wn_full, psi_l)
+        else:
+            disp_e = _halo_exchange_z(psi_l - ident_l, K, axis)
+
+            def inv_body(_, inv_l):
+                return ident_l - _sample_window_local(disp_e, inv_l, z0, K)
+
+            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
+
+            wn_e = _halo_exchange_z(wn_l, K, axis)
+            wnp_l = _sample_window_local(wn_e, psi_l, z0, K, floor=True)
 
         tg2_l, wg2_l = fuse_volumes(tg_l, wg_l, tnp_l, wnp_l, max_weight)
         return psi_l, psi_inv_l, tg2_l, wg2_l, iters, mnorm

@@ -162,7 +162,9 @@ class SolveResult(NamedTuple):
     energy: jnp.ndarray
 
 
-def sobolev_smooth(dU: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+def sobolev_smooth(
+    dU: jnp.ndarray, taps: jnp.ndarray, mxu: bool = False
+) -> jnp.ndarray:
     """Sum of three axis-wise 1-D replicate-pad convolutions of the SAME input.
 
     Matches the reference's rows-assign / columns-accumulate / depth-
@@ -170,11 +172,16 @@ def sobolev_smooth(dU: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     not a separable tensor product. Kept as three per-axis replicate-pad
     convolutions: measured FASTER on TPU than a pad-once-all-axes variant
     (whose off-by-r lane slices defeat XLA's aligned vector loads).
+
+    mxu=True evaluates each axis conv as a banded-matrix contraction on the
+    MXU (:func:`sobfu_tpu.fields.conv1d_replicate_mxu`) instead of ``s``
+    shifted VPU passes — same numbers to f32 round-off.
     """
+    conv = fields.conv1d_replicate_mxu if mxu else fields.conv1d_replicate
     return (
-        fields.conv1d_replicate(dU, taps, axis=-1)
-        + fields.conv1d_replicate(dU, taps, axis=-2)
-        + fields.conv1d_replicate(dU, taps, axis=-3)
+        conv(dU, taps, axis=-1)
+        + conv(dU, taps, axis=-2)
+        + conv(dU, taps, axis=-3)
     )
 
 
@@ -194,6 +201,7 @@ def sobolev_smooth(dU: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
         "pallas_tile_y",
         "taps_static",
         "momentum",
+        "conv_mxu",
     ),
 )
 def estimate_psi(
@@ -217,6 +225,7 @@ def estimate_psi(
     pallas_tile_y: int = 0,
     taps_static: Optional[Tuple[float, ...]] = None,
     momentum: Optional[float] = None,
+    conv_mxu: bool = False,
 ) -> SolveResult:
     """Run the full warp-field solve for one frame; everything stays on device.
 
@@ -282,7 +291,7 @@ def estimate_psi(
             grad = fields.tsdf_gradient(tsdf_n_psi)
             lap = fields.neg_laplacian(psi)
             dU = (tsdf_n_psi - tsdf_global)[None] * grad + w_reg * lap
-            dU_S = sobolev_smooth(dU, taps)
+            dU_S = sobolev_smooth(dU, taps, mxu=conv_mxu)
 
             if momentum is not None:
                 vel_new = momentum * state.vel + dU_S
@@ -356,6 +365,14 @@ class Solver:
         self.taps_static = tuple(float(t) for t in np.asarray(self.taps))
         self.mode = getattr(params, "solver_mode", "additive")
         self.momentum = getattr(params, "momentum", None)
+        inc_inv = getattr(params, "incremental_inverse", None)
+        self.incremental_inverse = True if inc_inv is None else bool(inc_inv)
+        conv_mxu = getattr(params, "conv_mxu", None)
+        if conv_mxu is None:
+            # auto: MXU contraction wins on TPU; on CPU the banded matmul is
+            # an O(n) -> O(n^2) pessimisation, keep the slice-sum
+            conv_mxu = jax.devices()[0].platform != "cpu"
+        self.conv_mxu = bool(conv_mxu)
         z_chunks = getattr(params, "z_chunks", None)
         if z_chunks is None:
             # auto: chunked state restores XLA fusion on big grids (see
@@ -388,10 +405,12 @@ class Solver:
         if self.mode == "compositive":
             res = estimate_psi_compositive(
                 *common,
+                psi_inv.data if self.incremental_inverse else None,
                 warp_window=self.warp_window or 2,
                 n_chunks=self.z_chunks,
                 record_energy=record,
                 energy_cap=p.max_iter if record else 0,
+                conv_mxu=self.conv_mxu,
             )
         elif self.z_chunks and not self.use_pallas:
             # chunked supports momentum + energy recording; use_pallas wins
@@ -403,6 +422,7 @@ class Solver:
                 record_energy=record,
                 energy_cap=p.max_iter if record else 0,
                 momentum=self.momentum,
+                conv_mxu=self.conv_mxu,
             )
         else:
             res = estimate_psi(
@@ -413,6 +433,7 @@ class Solver:
                 use_pallas=self.use_pallas,
                 taps_static=self.taps_static if self.use_pallas else None,
                 momentum=self.momentum,
+                conv_mxu=self.conv_mxu,
             )
         psi.data = res.psi
         psi_inv.data = res.psi_inv
@@ -449,7 +470,8 @@ class Solver:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "inverse_iters", "warp_window", "n_chunks", "record_energy", "energy_cap",
+        "inverse_iters", "warp_window", "n_chunks", "record_energy",
+        "energy_cap", "conv_mxu", "inv_window_iters", "inv_refine_iters",
     ),
 )
 def estimate_psi_compositive(
@@ -463,12 +485,16 @@ def estimate_psi_compositive(
     w_reg: jnp.ndarray,
     max_iter: jnp.ndarray,
     max_update_norm_thresh: jnp.ndarray,
+    psi_inv0: Optional[jnp.ndarray] = None,
     *,
     inverse_iters: int = 48,
     warp_window: int = 2,
     n_chunks: int = 0,
     record_energy: bool = False,
     energy_cap: int = 0,
+    conv_mxu: bool = False,
+    inv_window_iters: int = 16,
+    inv_refine_iters: int = 2,
 ) -> SolveResult:
     """Compositive-update solve: UNBOUNDED total deformation at window speed.
 
@@ -491,10 +517,35 @@ def estimate_psi_compositive(
     Cost per frame beyond the loop: ONE exact warp for T0 and ONE exact
     field composition at the end — both amortised over all iterations.
 
+    psi_inv0: the inverse of psi0 from the previous frame. When given, the
+    returned inverse is maintained INCREMENTALLY (vs the reference's 48
+    exact-gather fixed-point iterations from identity each frame,
+    vector_fields.cu:111-138): only the bounded per-frame increment
+    g = id + delta is inverted — with the gather-free window sampler, valid
+    because |delta| <= warp_window — and composed as
+    psi_new^{-1} = g^{-1} o psi0^{-1} (one exact field sample), then
+    anchored by ``inv_refine_iters`` exact fixed-point steps against the
+    composed field to stop interpolation drift accumulating across frames.
+    3 exact gathers instead of 48.
+
     Returns a :class:`SolveResult` for the composed total field.
     """
     dims_zyx = tsdf_n.shape
     ident = fields.identity_field(dims_zyx)
+
+    def compose_inverse(psi_new, delta_final):
+        if psi_inv0 is None:
+            return fields.estimate_inverse(psi_new, inverse_iters)
+        q = fields.estimate_inverse_window(
+            ident + delta_final, iters=inv_window_iters, max_disp=warp_window
+        )
+        dq = ident - q
+        # psi_new^{-1}(v) = q(psi0^{-1}(v)) = psi0^{-1}(v) - dq(psi0^{-1}(v))
+        inv = psi_inv0 - fields.sample_field_trilinear(dq, psi_inv0)
+        disp_new = psi_new - ident
+        for _ in range(inv_refine_iters):
+            inv = ident - fields.sample_field_trilinear(disp_new, inv)
+        return inv
 
     # one exact (gather) warp per frame: T0 = phi_n o psi0
     t0 = fields.sample_trilinear(tsdf_n, psi0)
@@ -508,9 +559,10 @@ def estimate_psi_compositive(
             taps, alpha, w_reg, max_iter, max_update_norm_thresh,
             n_chunks=n_chunks, warp_window=warp_window, inverse_iters=1,
             record_energy=record_energy, energy_cap=energy_cap,
+            conv_mxu=conv_mxu,
         )
         psi_new = fields.sample_field_trilinear(psi0, inner.psi)
-        psi_inv = fields.estimate_inverse(psi_new, inverse_iters)
+        psi_inv = compose_inverse(psi_new, inner.psi - ident)
         return SolveResult(
             psi=psi_new,
             psi_inv=psi_inv,
@@ -531,7 +583,7 @@ def estimate_psi_compositive(
         grad = fields.tsdf_gradient(tnp)
         lap = fields.neg_laplacian(delta)
         dU = (tnp - tsdf_global)[None] * grad + w_reg * lap
-        dU_S = sobolev_smooth(dU, taps)
+        dU_S = sobolev_smooth(dU, taps, mxu=conv_mxu)
 
         update = alpha * dU_S
         delta_new = delta - update
@@ -574,7 +626,7 @@ def estimate_psi_compositive(
     # compose: psi_new(v) = psi0(v + delta(v))  — one exact field sample
     psi_new = fields.sample_field_trilinear(psi0, ident + final.psi)
 
-    psi_inv = fields.estimate_inverse(psi_new, inverse_iters)
+    psi_inv = compose_inverse(psi_new, final.psi)
     tsdf_g_inv = fields.sample_trilinear(tsdf_global, psi_inv)
     weight_g_inv = fields.sample_nearest_floor(weight_global, psi_inv)
     weight_n_psi = fields.sample_nearest_floor(weight_n, psi_new)
@@ -629,6 +681,7 @@ def _chunk_halo(chunks, i, h, ax, cz):
         "record_energy",
         "energy_cap",
         "momentum",
+        "conv_mxu",
     ),
 )
 def estimate_psi_chunked(
@@ -649,6 +702,7 @@ def estimate_psi_chunked(
     record_energy: bool = False,
     energy_cap: int = 0,
     momentum: Optional[float] = None,
+    conv_mxu: bool = False,
 ) -> SolveResult:
     """Windowed-warp solve with z-chunked state (numerically equivalent to
     ``estimate_psi(..., warp_window=...)`` — same window semantics, same
@@ -745,14 +799,21 @@ def estimate_psi_chunked(
         mns = []
         for i in range(NC):
             dU_e = _chunk_halo(dUs, i, R, 1, CZ)
-            acc = fields.conv1d_replicate(dUs[i], taps, -1) + fields.conv1d_replicate(
-                dUs[i], taps, -2
-            )
-            # taps index flipped (S-1-k) to match conv1d_replicate's true-
-            # convolution orientation for asymmetric taps; identical for the
-            # symmetric Sobolev filters actually shipped.
-            for k in range(S):
-                acc = acc + taps[S - 1 - k] * dU_e[:, k : k + CZ]
+            if conv_mxu:
+                acc = (
+                    fields.conv1d_replicate_mxu(dUs[i], taps, -1)
+                    + fields.conv1d_replicate_mxu(dUs[i], taps, -2)
+                    + fields.conv1d_valid_mxu(dU_e, taps, 1)
+                )
+            else:
+                acc = fields.conv1d_replicate(
+                    dUs[i], taps, -1
+                ) + fields.conv1d_replicate(dUs[i], taps, -2)
+                # taps index flipped (S-1-k) to match conv1d_replicate's true-
+                # convolution orientation for asymmetric taps; identical for
+                # the symmetric Sobolev filters actually shipped.
+                for k in range(S):
+                    acc = acc + taps[S - 1 - k] * dU_e[:, k : k + CZ]
             if momentum is not None:
                 v = momentum * vels[i] + acc
                 new_vels.append(v)

@@ -108,12 +108,53 @@ def test_sharded_window_warp_matches_exact():
     windowed = make_sharded_estimate_psi(mesh, inverse_iters=4, warp_window=4)(
         psi, tg, wg, tn, wn, taps, *args
     )
+    # psi, tnp from the loop; psi_inv, tgi, wgi, wnp exercise the halo-based
+    # inverse + tail warps (the memory-scalable path with no all_gather)
     np.testing.assert_allclose(
         np.asarray(windowed[0]), np.asarray(exact[0]), atol=1e-5
     )
     np.testing.assert_allclose(
         np.asarray(windowed[2]), np.asarray(exact[2]), atol=1e-5
     )
+    np.testing.assert_allclose(  # psi_inv
+        np.asarray(windowed[1]), np.asarray(exact[1]), atol=1e-4
+    )
+    np.testing.assert_allclose(  # tsdf_global o psi_inv
+        np.asarray(windowed[4]), np.asarray(exact[4]), atol=1e-4
+    )
+    np.testing.assert_allclose(  # warped weights (floor rule, exact ints)
+        np.asarray(windowed[5]), np.asarray(exact[5]), atol=0
+    )
+    np.testing.assert_allclose(  # weight_n o psi
+        np.asarray(windowed[3]), np.asarray(exact[3]), atol=0
+    )
+
+
+def test_sharded_window_no_all_gather():
+    """The windowed sharded solve must never materialise a full volume per
+    device (VERDICT item 4): its compiled HLO contains NO all-gather — every
+    full-volume replication (live warp source, inverse displacement, tail
+    warps) is replaced by neighbour halo exchange. The exact-gather mode
+    keeps its 5 all-gathers (live, psi, tsdf_g, weight_g, weight_n)."""
+    mesh = make_mesh(n_z=8)
+    dims = (128, 64, 64)
+    psi = jax.ShapeDtypeStruct((3,) + dims, jnp.float32)
+    vol = jax.ShapeDtypeStruct(dims, jnp.float32)
+    f32 = jax.ShapeDtypeStruct((), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    taps = jax.ShapeDtypeStruct((7,), jnp.float32)
+    args = (psi, vol, vol, vol, vol, taps, f32, f32, i32, f32)
+
+    hlo_window = (
+        make_sharded_estimate_psi(mesh, inverse_iters=8, warp_window=4)
+        .lower(*args).compile().as_text()
+    )
+    hlo_exact = (
+        make_sharded_estimate_psi(mesh, inverse_iters=8)
+        .lower(*args).compile().as_text()
+    )
+    assert hlo_window.count("all-gather") == 0, hlo_window.count("all-gather")
+    assert hlo_exact.count("all-gather") == 5
 
 
 def test_frame_step_with_window_warp():

@@ -323,6 +323,60 @@ def test_compositive_mode_tracks_beyond_window():
     assert e_after < 0.8 * e_before, (e_before, e_after)
 
 
+def test_compositive_incremental_inverse_tracks_exact():
+    """Incremental psi_inv maintenance (invert the bounded increment with
+    the window sampler, compose with the previous inverse, exact-anchor
+    refinement) must stay within 0.05 voxel of the reference's full 48-step
+    exact inverse (vector_fields.cu:111-138) over accumulated frames."""
+    vs = SIZE / DIM
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    args = (jnp.float32(0.1), jnp.float32(0.4), jnp.int32(16),
+            jnp.float32(-1.0))
+    c = SIZE / 2
+    phi_g = TsdfVolume(make_params())
+    phi_g.init_sphere((c, c, c), 0.01)
+
+    dims = (DIM, DIM, DIM)
+    psi = fields.identity_field(dims)
+    psi_inv = fields.identity_field(dims)
+    for f in range(1, 4):
+        phi_n = TsdfVolume(make_params())
+        phi_n.init_sphere((c - 0.5 * vs * f, c, c), 0.01)
+        res = solver.estimate_psi_compositive(
+            psi, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps,
+            *args, psi_inv, warp_window=2,
+        )
+        psi, psi_inv = res.psi, res.psi_inv
+        inv_ref = fields.estimate_inverse(psi, 48)
+        err = float(jnp.abs(psi_inv - inv_ref).max())
+        assert err < 0.05, (f, err)
+
+
+def test_conv_mxu_matches_slice_sum():
+    """The MXU banded-matmul convolution path must agree with the
+    slice-sum path through a full solve (monolithic + chunked)."""
+    phi_g = TsdfVolume(make_params())
+    phi_g.init_sphere((0.065, 0.065, 0.065), 0.01)
+    phi_n = TsdfVolume(make_params())
+    phi_n.init_sphere((0.0635, 0.065, 0.065), 0.01)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    psi0 = fields.identity_field((DIM, DIM, DIM))
+    common = (psi0, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps,
+              jnp.float32(0.1), jnp.float32(0.4), jnp.int32(16),
+              jnp.float32(-1.0))
+    a = solver.estimate_psi(*common, warp_window=2, inverse_iters=4)
+    b = solver.estimate_psi(*common, warp_window=2, inverse_iters=4,
+                            conv_mxu=True)
+    np.testing.assert_allclose(np.asarray(b.psi), np.asarray(a.psi),
+                               atol=1e-5)
+    c = solver.estimate_psi_chunked(*common, n_chunks=4, warp_window=2,
+                                    inverse_iters=4)
+    d = solver.estimate_psi_chunked(*common, n_chunks=4, warp_window=2,
+                                    inverse_iters=4, conv_mxu=True)
+    np.testing.assert_allclose(np.asarray(d.psi), np.asarray(c.psi),
+                               atol=1e-5)
+
+
 def test_solver_class_verbose_prints_energies(capsys):
     """The Solver wrapper must reproduce the reference's verbose energy
     lines (solver.cu:132-142) from the recorded on-device history."""
