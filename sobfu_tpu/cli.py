@@ -45,6 +45,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--vverbose", action="store_true")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument(
+        "--color-mesh", action="store_true",
+        help="sample per-vertex RGB from the color stream onto logged "
+        "meshes and screenshots",
+    )
     ap.add_argument("--checkpoint", default=None, help="write state here after each frame")
     ap.add_argument("--resume", default=None, help="restore state before starting")
     return ap
@@ -91,10 +96,16 @@ def main(argv=None) -> int:
     timer = SampledScopeTime()
     n_frames = len(depths) if args.max_frames is None else min(args.max_frames, len(depths))
 
+    want_color = args.enable_viz or args.enable_viz_detailed or args.color_mesh
     for i in range(start, n_frames):
         depth = sio.load_depth(depths[i])
         if masks:
             depth = sio.apply_mask(depth, sio.load_mask(masks[i]))
+        # color stream consumed like the reference viewer (demo.cpp:311-330)
+        color = (
+            sio.load_color(colors[i]) if (want_color and i < len(colors))
+            else None
+        )
 
         with timer:
             fusion(jnp.asarray(depth))
@@ -108,6 +119,12 @@ def main(argv=None) -> int:
 
         if args.enable_log and fusion.frame_counter > 1:
             mesh = fusion.get_phi_global_mesh()
+            if args.color_mesh and color is not None:
+                from sobfu_tpu import viz
+
+                mesh.colors = viz.sample_vertex_colors(
+                    mesh, color, fusion.poses[-1], params.intr
+                )
             sio.save_mesh_vtk(mesh, os.path.join(mesh_dir, f"mesh_{i:04d}.vtk"))
             disp = np.asarray(displacement(fusion.psi.data))
             sio.save_field_vti(disp, os.path.join(field_dir, f"psi_{i:04d}.vti"))
@@ -119,6 +136,7 @@ def main(argv=None) -> int:
                 fusion,
                 os.path.join(shot_dir, f"frame_{i:04d}.png"),
                 detailed=args.enable_viz_detailed,
+                color=color,
             )
 
         if args.checkpoint:

@@ -111,7 +111,8 @@ def save_mesh_vtk(mesh: Mesh, path: str, binary: bool = False) -> None:
     reference (demo.cpp:237-246): POINTS + POLYGONS sections.
     """
     v = np.asarray(mesh.vertices, dtype=np.float32)
-    if not binary:
+    colors = getattr(mesh, "colors", None)
+    if not binary and colors is None:
         try:
             from sobfu_tpu import native
 
@@ -142,6 +143,16 @@ def save_mesh_vtk(mesh: Mesh, path: str, binary: bool = False) -> None:
             f.write(b"\n")
         else:
             np.savetxt(f, cells, fmt="%d")
+        if colors is not None and n_pts:
+            # per-vertex RGB (VTK legacy COLOR_SCALARS, floats in [0, 1])
+            f.write(f"POINT_DATA {n_pts}\n".encode())
+            f.write(b"COLOR_SCALARS rgb 3\n")
+            cf = np.asarray(colors, np.float32) / 255.0
+            if binary:
+                f.write((cf * 255).astype(np.uint8).tobytes())
+                f.write(b"\n")
+            else:
+                np.savetxt(f, cf, fmt="%.4f")
 
 
 def load_mesh_vtk(path: str) -> Mesh:

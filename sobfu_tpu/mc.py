@@ -67,6 +67,7 @@ class Mesh:
 
     vertices: np.ndarray  # f32[n, 3]
     normals: np.ndarray  # f32[n, 3]
+    colors: "np.ndarray | None" = None  # u8[n, 3] per-vertex RGB (optional)
 
     @property
     def n_triangles(self) -> int:

@@ -34,6 +34,17 @@ DMAs and all z/y shifts become static slices of VMEM scratch. The x axis
 (lanes) is kept whole in every tile; x shifts are roll + edge fix-up.
 Stencil zero-at-boundary rules are enforced with global-index masks,
 matching the reference differentiators exactly.
+
+Mosaic safety rules this kernel observes (the round-1 version crashed the
+TPU worker; root-caused to unaligned sublane accesses):
+  * every scratch buffer's sublane dimension (second-to-last) is a
+    multiple of 8 — the live-volume halo is fixed at _H (not K+1), making
+    its scratch the same aligned shape as the others;
+  * every DMA slice has sublane-aligned start AND size;
+  * NO dynamic slicing on the sublane dimension: the warp loop runs a
+    fori_loop over the z offset only (dynamic starts on the MAJOR dim are
+    fine) with the y offset statically unrolled;
+  * reduction outputs use (8, 128)-shaped blocks, never (1, 128).
 """
 
 from __future__ import annotations
@@ -68,7 +79,7 @@ def _shift_x_edge(a: jnp.ndarray, o: int, X: int) -> jnp.ndarray:
 
 def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
     """Build the fused GD-step kernel body for static tile geometry."""
-    KZ = K + 1  # live-volume halo (window reach K, +1 margin)
+    KZ = _H  # live-volume halo: fixed at _H so the scratch is sublane-aligned
     R = n_taps // 2
     DZ = BZ + 2 * R  # dU z-rows (output rows + conv halo)
     DY = TY + 2 * R
@@ -81,7 +92,7 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
         live_ref,  # ANY f32[Z+2KZ, Y+2KZ, X]
         psi_out,  # VMEM f32[3, BZ, TY, X]
         tnp_out,  # VMEM f32[BZ, TY, X]
-        mx_out,  # VMEM f32[1, 1, 1, 128] (per-tile max, lane-broadcast)
+        mx_out,  # VMEM f32[1, 1, 8, 128] (per-tile max, sublane-aligned)
         s_psi,
         s_tnp,
         s_tg,
@@ -203,7 +214,7 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
             psi_out[c] = s_psi[c, pl.ds(_H, BZ), pl.ds(_H, TY), :] - upd
             update_sq = upd * upd if update_sq is None else update_sq + upd * upd
 
-        mx_out[:] = jnp.full((1, 1, 1, 128), jnp.max(update_sq), jnp.float32)
+        mx_out[:] = jnp.full((1, 1, 8, 128), jnp.max(update_sq), jnp.float32)
 
         # ---- bounded-window trilinear warp of the live tsdf at psi' ----
         px = psi_out[0]
@@ -222,32 +233,189 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
         dy = jnp.clip(jnp.clip(py, 0.0, Y - 1) - vy, -K, hi)
         dz = jnp.clip(jnp.clip(pz, 0.0, Z - 1) - vz, -K, hi)
 
-        # (oz, oy) as a ROLLED fori_loop: Mosaic stack-allocates every value
-        # in an unrolled loop, so a (2K+1)^3 unrolled window blows the 16 MB
-        # VMEM budget — rolled loops reuse the same few tile temps. Only the
-        # innermost ox stays unrolled (static lane rolls).
+        # z offsets as a ROLLED fori_loop: Mosaic stack-allocates every value
+        # in an unrolled loop, so a fully unrolled (2K+1)^3 window blows the
+        # 16 MB VMEM budget — the rolled loop reuses the same few tile temps.
+        # The dynamic start lands on the MAJOR (z) dim only; the y offset is
+        # statically unrolled (static sublane slices are legal in Mosaic —
+        # dynamic sublane starts are what crashed the round-1 kernel), and x
+        # shifts are static lane rolls.
         Wn = 2 * K + 1
 
         def warp_body(i, acc):
-            oz = i // Wn - K  # traced scalars; pl.ds handles dynamic starts
-            oy = i % Wn - K
-            lzy = s_live[pl.ds(KZ + oz, BZ), pl.ds(KZ + oy, TY), :]
-            acc_x = jnp.zeros(shape_o, jnp.float32)
-            for ox in range(-K, K + 1):
-                acc_x = acc_x + jnp.maximum(
-                    0.0, 1.0 - jnp.abs(dx - ox)
-                ) * _shift_x_edge(lzy, ox, X)
-            wzy = jnp.maximum(
-                0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32))
-            ) * jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy.astype(jnp.float32)))
-            return acc + wzy * acc_x
+            oz = i - K  # traced z offset; dynamic start on the major dim
+            lz = s_live[pl.ds(KZ + oz, BZ), :, :]
+            acc_y = jnp.zeros(shape_o, jnp.float32)
+            for oy in range(-K, K + 1):
+                lzy = lz[:, KZ + oy : KZ + oy + TY, :]
+                acc_x = jnp.zeros(shape_o, jnp.float32)
+                for ox in range(-K, K + 1):
+                    acc_x = acc_x + jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dx - ox)
+                    ) * _shift_x_edge(lzy, ox, X)
+                acc_y = acc_y + jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dy - oy)
+                ) * acc_x
+            wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32)))
+            return acc + wz * acc_y
 
         out = jax.lax.fori_loop(
-            0, Wn * Wn, warp_body, jnp.zeros(shape_o, jnp.float32)
+            0, Wn, warp_body, jnp.zeros(shape_o, jnp.float32)
         )
         tnp_out[:] = out
 
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# warp-only kernel (the production hot path)
+# ---------------------------------------------------------------------------
+#
+# Profiling the fused kernel above shows its manual DMA start/wait pattern
+# serialises transfer latency with compute (no double buffering): 128 tiles
+# x ~13 us >> the useful work. The warp, however, is the only part of the
+# GD iteration XLA handles badly (it re-reads the padded live volume from
+# HBM for every shifted term); the stencils + MXU banded-matmul convolution
+# are already near-roofline in XLA. So the production configuration is:
+# XLA stencils + MXU convs + THIS kernel for the warp, which uses the
+# standard BlockSpec pipeline (automatic double buffering, no manual DMA):
+#
+#   * psi needs no halo -> plain block partition of the coordinate field;
+#   * the live volume is pre-stacked into OVERLAPPING z-tiles of height
+#     BZ + 2K OUTSIDE the kernel. The stack is loop-invariant (the live
+#     tsdf is constant during a solve), so XLA hoists it out of the
+#     while_loop: its build cost is paid once per solve, not per iteration;
+#   * inside the kernel all y/x shifts are static slices / lane rolls and
+#     the z offset runs in a fori_loop with a dynamic start on the MAJOR
+#     dim only (the Mosaic-safe pattern established above).
+
+
+def _make_warp_kernel(C, BZ, Y, X, K, Zg, floor):
+    """Bounded-window warp kernel body: one z-tile of C channels."""
+
+    def kernel(vol_ref, psi_ref, out_ref):
+        # vol_ref: f32[1, C, BZ+2K, Y+2K, X] overlapping tile (edge-padded)
+        # psi_ref: f32[3, BZ, Y, X] absolute coords; out_ref: f32[C, BZ, Y, X]
+        iz = pl.program_id(0)
+        z0 = iz * BZ
+        shape_o = (BZ, Y, X)
+        vx = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2).astype(jnp.float32)
+        vy = jax.lax.broadcasted_iota(jnp.int32, shape_o, 1).astype(jnp.float32)
+        vz = (
+            jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0
+        ).astype(jnp.float32)
+
+        cx = jnp.clip(psi_ref[0], 0.0, X - 1)
+        cy = jnp.clip(psi_ref[1], 0.0, Y - 1)
+        cz = jnp.clip(psi_ref[2], 0.0, Zg - 1)
+        if floor:
+            cx, cy, cz = jnp.floor(cx), jnp.floor(cy), jnp.floor(cz)
+        hi = K if floor else K - 1e-4
+        dx = jnp.clip(cx - vx, -K, hi)
+        dy = jnp.clip(cy - vy, -K, hi)
+        dz = jnp.clip(cz - vz, -K, hi)
+
+        if floor:
+            wfn = lambda d, o: (d == o).astype(jnp.float32)
+        else:
+            wfn = lambda d, o: jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
+
+        # per-axis weights precomputed ONCE per tile (tile-sized VMEM temps;
+        # halves the op count vs recomputing the hat inside the triple loop —
+        # the trade XLA could not make at 256^3 for HBM reasons is free here)
+        wxs = [wfn(dx, ox) for ox in range(-K, K + 1)]
+        wys = [wfn(dy, oy) for oy in range(-K, K + 1)]
+
+        Wn = 2 * K + 1
+        for c in range(C):
+
+            def warp_body(i, acc, c=c):
+                # z offset via fori_loop (values are reused across iterations
+                # — full unrolling stack-OOMs Mosaic); dynamic start on the
+                # MAJOR dim only. The 2K+1 lane shifts are hoisted per z-row
+                # block so the (oy, ox) body is a pure static-slice FMA:
+                # (2K+1)^2 rolls total instead of (2K+1)^3.
+                oz = i - K
+                lz = vol_ref[0, c, pl.ds(K + oz, BZ), :, :]
+                lxz = [_shift_x_edge(lz, ox, X) for ox in range(-K, K + 1)]
+                acc_y = jnp.zeros(shape_o, jnp.float32)
+                for oy in range(-K, K + 1):
+                    acc_x = jnp.zeros(shape_o, jnp.float32)
+                    for ox in range(-K, K + 1):
+                        lzy = lxz[ox + K][:, K + oy : K + oy + Y, :]
+                        acc_x = acc_x + wxs[ox + K] * lzy
+                    acc_y = acc_y + wys[oy + K] * acc_x
+                if floor:
+                    wz = (dz == oz.astype(jnp.float32)).astype(jnp.float32)
+                else:
+                    wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz))
+                return acc + wz * acc_y
+
+            out_ref[c] = jax.lax.fori_loop(
+                0, Wn, warp_body, jnp.zeros(shape_o, jnp.float32)
+            )
+
+    return kernel
+
+
+def _stack_overlapping_z(vol_pad, nz, BZ, K):
+    """(.., Z+2K, Y+2K, X) padded volume -> (nz, .., BZ+2K, Y+2K, X) tiles."""
+    tiles = [
+        jax.lax.slice_in_dim(vol_pad, i * BZ, i * BZ + BZ + 2 * K,
+                             axis=vol_pad.ndim - 3)
+        for i in range(nz)
+    ]
+    return jnp.stack(tiles, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "BZ", "floor", "interpret")
+)
+def window_warp_pallas(
+    vol: jnp.ndarray,  # f32[Z, Y, X] or f32[C, Z, Y, X]
+    psi: jnp.ndarray,  # f32[3, Z, Y, X] absolute coords (voxel units)
+    K: int = 2,
+    BZ: int = 8,
+    floor: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bounded-window trilinear (or floor-corner) warp as a pipelined Pallas
+    kernel. Semantics identical to fields.sample_trilinear_window /
+    sample_nearest_floor_window; valid while displacements stay within K.
+    """
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[None]
+    C, Z, Y, X = vol.shape
+    assert Z % BZ == 0, (Z, BZ)
+    nz = Z // BZ
+
+    vol_pad = jnp.pad(
+        vol, [(0, 0), (K, K), (K, K), (0, 0)], mode="edge"
+    )
+    vol_t = _stack_overlapping_z(vol_pad, nz, BZ, K)
+
+    out = pl.pallas_call(
+        _make_warp_kernel(C, BZ, Y, X, K, Z, floor),
+        grid=(nz,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, C, BZ + 2 * K, Y + 2 * K, X),
+                lambda i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, BZ, Y, X), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, BZ, Y, X), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, Z, Y, X), jnp.float32),
+        interpret=interpret,
+    )(vol_t, psi)
+
+    return out[0] if squeeze else out
 
 
 @functools.partial(
@@ -279,7 +447,8 @@ def fused_gd_step(
     assert Z % BZ == 0 and Y % TY == 0, (Z, BZ, Y, TY)
     n_taps = len(taps_static)
     assert n_taps % 2 == 1 and n_taps <= 2 * _H - 1
-    KZ = K + 1
+    assert 1 <= K <= _H, f"window K={K} must fit the fixed halo {_H}"
+    KZ = _H  # aligned live halo (== the stencil/conv halo)
 
     pad_h = [(0, 0), (_H, _H), (_H, _H), (0, 0)]
     psi_pad = jnp.pad(psi, pad_h, mode="edge")
@@ -293,7 +462,7 @@ def fused_gd_step(
     out_shapes = (
         jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
         jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
-        jax.ShapeDtypeStruct(grid + (1, 128), jnp.float32),
+        jax.ShapeDtypeStruct(grid + (8, 128), jnp.float32),
     )
     scal = jnp.stack([alpha.astype(jnp.float32), w_reg.astype(jnp.float32)])
 
@@ -315,7 +484,7 @@ def fused_gd_step(
                 (BZ, TY, X), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, 1, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, 8, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
             ),
         ),
         out_shape=out_shapes,

