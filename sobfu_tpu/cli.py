@@ -50,6 +50,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="sample per-vertex RGB from the color stream onto logged "
         "meshes and screenshots",
     )
+    ap.add_argument(
+        "--live-viz", action="store_true",
+        help="serve a live interactive viewer over HTTP (headless-host "
+        "equivalent of the reference's PCL window)",
+    )
+    ap.add_argument("--live-viz-port", type=int, default=8765)
     ap.add_argument("--checkpoint", default=None, help="write state here after each frame")
     ap.add_argument("--resume", default=None, help="restore state before starting")
     return ap
@@ -96,7 +102,17 @@ def main(argv=None) -> int:
     timer = SampledScopeTime()
     n_frames = len(depths) if args.max_frames is None else min(args.max_frames, len(depths))
 
-    want_color = args.enable_viz or args.enable_viz_detailed or args.color_mesh
+    live = None
+    if args.live_viz:
+        from sobfu_tpu.viewer import LiveViewer
+
+        live = LiveViewer(port=args.live_viz_port).start()
+        print(f"live viewer: http://localhost:{live.port}/")
+
+    want_color = (
+        args.enable_viz or args.enable_viz_detailed or args.color_mesh
+        or args.live_viz
+    )
     for i in range(start, n_frames):
         depth = sio.load_depth(depths[i])
         if masks:
@@ -139,10 +155,18 @@ def main(argv=None) -> int:
                 color=color,
             )
 
+        if live is not None and fusion.frame_counter > 1:
+            live.update(
+                fusion, color=color, fps=timer.fps,
+                detailed=args.enable_viz_detailed, frame=i,
+            )
+
         if args.checkpoint:
             ckpt.save_checkpoint(args.checkpoint, fusion)
 
     print(f"processed {n_frames - start} frames, avg fps {timer.fps:.2f}")
+    if live is not None:
+        live.stop()
     return 0
 
 

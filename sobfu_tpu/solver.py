@@ -202,6 +202,7 @@ def sobolev_smooth(
         "taps_static",
         "momentum",
         "conv_mxu",
+        "warp_pallas",
     ),
 )
 def estimate_psi(
@@ -226,6 +227,7 @@ def estimate_psi(
     taps_static: Optional[Tuple[float, ...]] = None,
     momentum: Optional[float] = None,
     conv_mxu: bool = False,
+    warp_pallas: bool = False,
 ) -> SolveResult:
     """Run the full warp-field solve for one frame; everything stays on device.
 
@@ -253,6 +255,18 @@ def estimate_psi(
         warp_scalar = fields.sample_trilinear
         warp_floor = fields.sample_nearest_floor
         inverse = functools.partial(fields.estimate_inverse, iters=inverse_iters)
+    elif warp_pallas:
+        from sobfu_tpu.ops.pallas_kernels import window_warp_pallas
+
+        warp_scalar = functools.partial(window_warp_pallas, K=warp_window)
+        warp_floor = functools.partial(
+            window_warp_pallas, K=warp_window, floor=True
+        )
+        inverse = functools.partial(
+            fields.estimate_inverse_window,
+            iters=inverse_iters,
+            max_disp=warp_window,
+        )
     else:
         warp_scalar = functools.partial(
             fields.sample_trilinear_window, max_disp=warp_window
