@@ -101,6 +101,11 @@ class Params:
     # on the MXU instead of shifted VPU passes. None = auto (on for TPU
     # backends, off on CPU where there is no systolic array to win on).
     conv_mxu: "bool | None" = None
+    # run the bounded-window warps of the monolithic solve as the pipelined
+    # Pallas kernel (ops/pallas_kernels.window_warp_pallas): measured 1.6x
+    # faster full iterations at 128^3 (bit-identical results). Opt-in — the
+    # pool's Mosaic compile helper is intermittently unavailable.
+    warp_pallas: "bool | None" = None
     # compositive mode only: maintain psi_inv incrementally across frames
     # (invert the bounded increment with the window sampler + compose with
     # the previous inverse + exact refinement anchor) instead of 48 exact
@@ -192,6 +197,8 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         p.z_chunks = int(vm["Z_CHUNKS"])
     if "CONV_MXU" in vm:
         p.conv_mxu = vm["CONV_MXU"].strip().lower() in ("1", "true", "yes")
+    if "WARP_PALLAS" in vm:
+        p.warp_pallas = vm["WARP_PALLAS"].strip().lower() in ("1", "true", "yes")
     if "INCREMENTAL_INV" in vm:
         p.incremental_inverse = vm["INCREMENTAL_INV"].strip().lower() in (
             "1", "true", "yes",

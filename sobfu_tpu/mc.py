@@ -247,13 +247,24 @@ def extract_mesh(
     voxel_sizes,
     pose: Optional[np.ndarray] = None,
     iso: float = 0.0,
-    max_occupied: int = DEFAULT_MAX_OCCUPIED,
-    max_vertices: int = DEFAULT_MAX_VERTICES,
+    max_occupied: Optional[int] = None,
+    max_vertices: Optional[int] = None,
     flip_yz: bool = True,
 ) -> Mesh:
-    """Host-facing wrapper: run MC and trim to the valid vertex count."""
+    """Host-facing wrapper: run MC and trim to the valid vertex count.
+
+    Capacities default to min(reference cap, exact worst case for this
+    grid) — a 24^3 debug volume then costs ~14K-cube buffers instead of the
+    reference's fixed 6M-point allocation (marching_cubes.hpp:22), with
+    identical results (capacity >= any possible output, so no truncation).
+    """
     if pose is None:
         pose = np.eye(4, dtype=np.float32)
+    n_cells = int(np.prod(tsdf.shape))
+    if max_occupied is None:
+        max_occupied = min(DEFAULT_MAX_OCCUPIED, n_cells)
+    if max_vertices is None:
+        max_vertices = min(DEFAULT_MAX_VERTICES, 15 * max_occupied)
     v, n, count, _ = marching_cubes(
         tsdf,
         weight,

@@ -381,6 +381,7 @@ class Solver:
         self.momentum = getattr(params, "momentum", None)
         inc_inv = getattr(params, "incremental_inverse", None)
         self.incremental_inverse = True if inc_inv is None else bool(inc_inv)
+        self.warp_pallas = bool(getattr(params, "warp_pallas", None) or False)
         conv_mxu = getattr(params, "conv_mxu", None)
         if conv_mxu is None:
             # auto: MXU contraction wins on TPU; on CPU the banded matmul is
@@ -448,6 +449,7 @@ class Solver:
                 taps_static=self.taps_static if self.use_pallas else None,
                 momentum=self.momentum,
                 conv_mxu=self.conv_mxu,
+                warp_pallas=self.warp_pallas,
             )
         psi.data = res.psi
         psi_inv.data = res.psi_inv
