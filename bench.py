@@ -116,7 +116,10 @@ def fps_at_convergence(dim: int, conv_mxu: bool) -> dict:
         dims, (vs,) * 3, (0.5 - 1.3 * vs, 0.5, 0.5), 0.205, trunc, eta
     )
     taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
-    thresh = jnp.float32(2e-4)
+    # measured trajectory (momentum 0.9, this scene): max_norm 1e-3 at
+    # ~iter 400 with the data energy already ~3x below what plain GD
+    # reaches at 1024 iterations; 2e-4 only arrives at the iteration cap
+    thresh = jnp.float32(1e-3)
     cap = jnp.int32(1024)
     chunks = 8 if dim >= 128 else 0
 
