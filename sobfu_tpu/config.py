@@ -106,6 +106,13 @@ class Params:
     # faster full iterations at 128^3 (bit-identical results). Opt-in — the
     # pool's Mosaic compile helper is intermittently unavailable.
     warp_pallas: "bool | None" = None
+    # run each gradient-descent iteration as ONE double-buffered fused
+    # Pallas kernel (ops/pallas_kernels.fused_gd_iteration_db): stencils +
+    # potential gradient + Sobolev convolutions + update + windowed warp in
+    # a single VMEM-resident pass. None = auto (on for TPU when the grid
+    # tiles evenly and a warp window is in effect); False = force the
+    # XLA paths.
+    fused_pallas: "bool | None" = None
     # compositive mode only: maintain psi_inv incrementally across frames
     # (invert the bounded increment with the window sampler + compose with
     # the previous inverse + exact refinement anchor) instead of 48 exact
@@ -199,6 +206,8 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         p.conv_mxu = vm["CONV_MXU"].strip().lower() in ("1", "true", "yes")
     if "WARP_PALLAS" in vm:
         p.warp_pallas = vm["WARP_PALLAS"].strip().lower() in ("1", "true", "yes")
+    if "FUSED_PALLAS" in vm:
+        p.fused_pallas = vm["FUSED_PALLAS"].strip().lower() in ("1", "true", "yes")
     if "INCREMENTAL_INV" in vm:
         p.incremental_inverse = vm["INCREMENTAL_INV"].strip().lower() in (
             "1", "true", "yes",

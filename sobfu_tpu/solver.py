@@ -203,6 +203,8 @@ def sobolev_smooth(
         "momentum",
         "conv_mxu",
         "warp_pallas",
+        "fused_db",
+        "db_interpret",
     ),
 )
 def estimate_psi(
@@ -228,6 +230,8 @@ def estimate_psi(
     momentum: Optional[float] = None,
     conv_mxu: bool = False,
     warp_pallas: bool = False,
+    fused_db: bool = False,
+    db_interpret: bool = False,
 ) -> SolveResult:
     """Run the full warp-field solve for one frame; everything stays on device.
 
@@ -248,6 +252,11 @@ def estimate_psi(
     extension accelerating the reference's plain gradient descent:
     v <- mu*v + dU_S; psi <- psi - alpha*v. None (default) reproduces the
     reference exactly and carries no extra loop state.
+
+    fused_db: run each iteration as ONE double-buffered Pallas kernel
+    (:func:`sobfu_tpu.ops.pallas_kernels.fused_gd_iteration_db`) — the
+    production TPU hot loop. Requires warp_window and taps_static; supports
+    momentum; same numbers as the XLA window path to f32 round-off.
     """
     energy0 = jnp.zeros((energy_cap if record_energy else 1, 3), jnp.float32)
 
@@ -280,10 +289,37 @@ def estimate_psi(
             max_disp=warp_window,
         )
 
+    if fused_db:
+        from sobfu_tpu.ops.pallas_kernels import pad_for_db
+
+        assert warp_window is not None, "fused_db requires warp_window"
+        assert taps_static is not None, "fused_db requires taps_static"
+        tg_pad_db = pad_for_db(tsdf_global)
+        live_pad_db = pad_for_db(tsdf_n)
+
     def gd_step(state: SolverState) -> SolverState:
         psi, tsdf_n_psi = state.psi, state.tsdf_n_psi
 
-        if use_pallas:
+        if fused_db:
+            from sobfu_tpu.ops.pallas_kernels import fused_gd_iteration_db
+
+            psi_new, tsdf_new, vel_new, mx_sq = fused_gd_iteration_db(
+                psi,
+                tsdf_n_psi,
+                state.vel if momentum is not None else None,
+                tg_pad_db,
+                live_pad_db,
+                alpha,
+                w_reg,
+                taps_static,
+                K=warp_window,
+                momentum=momentum,
+                interpret=db_interpret,
+            )
+            if momentum is None:
+                vel_new = state.vel
+            mnorm = jnp.sqrt(mx_sq)
+        elif use_pallas:
             from sobfu_tpu.ops.pallas_kernels import fused_gd_step
 
             assert warp_window is not None, "use_pallas requires warp_window"
@@ -300,6 +336,7 @@ def estimate_psi(
                 BZ=pallas_block_z,
                 TY=pallas_tile_y,
             )
+            vel_new = state.vel
             mnorm = jnp.sqrt(mx_sq)
         else:
             grad = fields.tsdf_gradient(tsdf_n_psi)
@@ -329,8 +366,7 @@ def estimate_psi(
             )
 
         return SolverState(
-            psi_new, tsdf_new, state.iter + 1, mnorm, energy,
-            vel_new if not use_pallas else state.vel,
+            psi_new, tsdf_new, state.iter + 1, mnorm, energy, vel_new
         )
 
     def cond(state: SolverState) -> jnp.ndarray:
@@ -389,11 +425,49 @@ class Solver:
             conv_mxu = jax.devices()[0].platform != "cpu"
         self.conv_mxu = bool(conv_mxu)
         z_chunks = getattr(params, "z_chunks", None)
+        X, Y, Z = params.volume_dims  # volume_dims is (X, Y, Z)
+        fused = getattr(params, "fused_pallas", None)
+        if fused is None:
+            # auto: the double-buffered fused kernel is the TPU production
+            # hot loop — one VMEM-resident pass per GD iteration. Needs a
+            # warp window, taps <= 7, and evenly-tiling dims. Explicitly
+            # configured Z_CHUNKS keeps the chunked path (explicit beats
+            # auto).
+            from sobfu_tpu.ops.pallas_kernels import _db_tiles
+
+            BZ, TY = _db_tiles(Z, Y, X)
+            fused = (
+                jax.devices()[0].platform != "cpu"
+                and self.warp_window is not None
+                and 1 <= int(self.warp_window) <= 4
+                and self.taps.shape[0] <= 7
+                and Z % BZ == 0
+                and Y % TY == 0
+                and TY % 8 == 0
+                and X % 128 == 0  # sub-128 lane tiles fail Mosaic compile
+                and z_chunks is None
+                and not self.use_pallas
+                and not self.warp_pallas
+            )
+        self.fused_pallas = bool(fused)
+        if self.fused_pallas and self.warp_window is None:
+            # explicit FUSED_PALLAS=1 without WARP_WINDOW: the fused kernel
+            # is window-based by construction; use the production default.
+            self.warp_window = 2
         if z_chunks is None:
             # auto: chunked state restores XLA fusion on big grids (see
-            # estimate_psi_chunked); needs the windowed warp
-            Z = params.volume_dims[2]
-            z_chunks = 8 if (self.warp_window and Z >= 128 and Z % 8 == 0) else 0
+            # estimate_psi_chunked); needs the windowed warp. Superseded by
+            # the fused kernel when that is active.
+            z_chunks = (
+                8
+                if (
+                    self.warp_window
+                    and Z >= 128
+                    and Z % 8 == 0
+                    and not self.fused_pallas
+                )
+                else 0
+            )
         self.z_chunks = int(z_chunks)
 
     def estimate_psi(self, phi_global, phi_global_psi_inv, phi_n, phi_n_psi,
@@ -427,9 +501,10 @@ class Solver:
                 energy_cap=p.max_iter if record else 0,
                 conv_mxu=self.conv_mxu,
             )
-        elif self.z_chunks and not self.use_pallas:
-            # chunked supports momentum + energy recording; use_pallas wins
-            # over (auto-)chunking because the fused kernel is monolithic.
+        elif self.z_chunks and not self.use_pallas and not self.fused_pallas:
+            # chunked supports momentum + energy recording; use_pallas /
+            # fused_pallas win over (auto-)chunking: those kernels are
+            # monolithic.
             res = estimate_psi_chunked(
                 *common,
                 n_chunks=self.z_chunks,
@@ -446,10 +521,15 @@ class Solver:
                 energy_cap=p.max_iter if record else 0,
                 warp_window=self.warp_window,
                 use_pallas=self.use_pallas,
-                taps_static=self.taps_static if self.use_pallas else None,
+                taps_static=(
+                    self.taps_static
+                    if (self.use_pallas or self.fused_pallas)
+                    else None
+                ),
                 momentum=self.momentum,
                 conv_mxu=self.conv_mxu,
                 warp_pallas=self.warp_pallas,
+                fused_db=self.fused_pallas,
             )
         psi.data = res.psi
         psi_inv.data = res.psi_inv

@@ -67,3 +67,115 @@ def test_fused_gd_step_small_taps():
     )
     np.testing.assert_allclose(np.asarray(psi_k), np.asarray(psi_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(tnp_k), np.asarray(tnp_r), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# double-buffered fused iteration (the production TPU hot loop)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("momentum", [None, 0.9])
+def test_fused_db_iteration_matches_xla(momentum):
+    """fused_gd_iteration_db == XLA window step, incl. heavy-ball momentum."""
+    from sobfu_tpu.ops.pallas_kernels import fused_gd_iteration_db, pad_for_db
+
+    dims = (16, 16, 32)
+    tg, live, psi, tnp = _setup(dims, seed=3)
+    taps = solver.sobolev_filter_1d(7, 0.1)
+    alpha, w_reg = jnp.float32(0.05), jnp.float32(0.2)
+    rng = np.random.default_rng(7)
+    vel = (
+        jnp.asarray(rng.standard_normal((3,) + dims), jnp.float32)
+        if momentum is not None
+        else None
+    )
+
+    psi_k, tnp_k, vel_k, mx_k = fused_gd_iteration_db(
+        psi, tnp, vel, pad_for_db(tg), pad_for_db(live), alpha, w_reg,
+        tuple(float(t) for t in taps), K=2, BZ=8, TY=16,
+        momentum=momentum, interpret=True,
+    )
+
+    grad = fields.tsdf_gradient(tnp)
+    lap = fields.neg_laplacian(psi)
+    dU_S = solver.sobolev_smooth(
+        (tnp - tg)[None] * grad + w_reg * lap, jnp.asarray(taps)
+    )
+    if momentum is not None:
+        vel_r = momentum * vel + dU_S
+        upd = alpha * vel_r
+        np.testing.assert_allclose(
+            np.asarray(vel_k), np.asarray(vel_r), atol=1e-5
+        )
+    else:
+        upd = alpha * dU_S
+        assert vel_k is None
+    psi_r = psi - upd
+    tnp_r = fields.sample_trilinear_window(live, psi_r, 2)
+    np.testing.assert_allclose(np.asarray(psi_k), np.asarray(psi_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tnp_k), np.asarray(tnp_r), atol=1e-5)
+    np.testing.assert_allclose(
+        float(mx_k), float(jnp.max(jnp.sum(upd * upd, axis=0))), rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("momentum", [None, 0.9])
+def test_estimate_psi_fused_db_full_solve(momentum):
+    """The fused_db solve agrees with the XLA window solve over a full
+    multi-iteration run (while_loop path, convergence norm included)."""
+    from sobfu_tpu.tsdf import init_sphere
+
+    dim = 16
+    vs = 1.0 / dim
+    dims = (dim,) * 3
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.2, 8 * vs, 3 * vs)
+    tn, wn = init_sphere(dims, (vs,) * 3, (0.47, 0.5, 0.5), 0.21, 8 * vs, 3 * vs)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    common = (
+        fields.identity_field(dims), tg, wg, tn, wn, taps,
+        jnp.float32(0.05), jnp.float32(0.2), jnp.int32(12), jnp.float32(-1.0),
+    )
+    ref = solver.estimate_psi(*common, warp_window=2, momentum=momentum)
+    fus = solver.estimate_psi(
+        *common, warp_window=2, momentum=momentum,
+        fused_db=True, taps_static=taps_static, db_interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fus.psi), np.asarray(ref.psi), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fus.tsdf_n_psi), np.asarray(ref.tsdf_n_psi), atol=2e-5
+    )
+    assert abs(float(fus.max_norm) - float(ref.max_norm)) < 1e-6
+    assert int(fus.iters) == int(ref.iters) == 12
+
+
+def test_solver_fused_dispatch_flags():
+    """Auto fused dispatch: off on CPU; explicit knob respected; explicit
+    Z_CHUNKS beats auto-fused (explicit beats auto)."""
+    from sobfu_tpu.config import Params
+    from sobfu_tpu.solver import Solver
+
+    p = Params()
+    p.warp_window = 2
+    s = Solver(p)
+    assert s.fused_pallas is False  # CPU platform: auto stays off
+
+    p2 = Params()
+    p2.warp_window = 2
+    p2.fused_pallas = True
+    s2 = Solver(p2)
+    assert s2.fused_pallas is True
+    assert s2.z_chunks == 0  # fused supersedes auto-chunking
+
+    p3 = Params()
+    p3.warp_window = 2
+    p3.z_chunks = 4
+    s3 = Solver(p3)
+    assert s3.fused_pallas is False and s3.z_chunks == 4
+
+    p4 = Params()
+    p4.fused_pallas = True  # no warp_window: production default applied
+    s4 = Solver(p4)
+    assert s4.warp_window == 2
