@@ -41,9 +41,11 @@ REFERENCE_VOXEL_ITERS_PER_SEC = 2.0 * 2048 * 64**3  # ~1.07e9 (see docstring)
 
 def solve_time_per_iter(
     dim: int, warp_window: int, n_lo: int, n_hi: int, n_chunks: int = 0,
-    conv_mxu: bool = False,
+    conv_mxu: bool = False, fused: bool = False,
 ) -> float:
     """Median per-iteration seconds of the full solve via loop scaling."""
+    import numpy as _np
+
     from sobfu_tpu import fields, solver
     from sobfu_tpu.tsdf import init_sphere
 
@@ -55,6 +57,7 @@ def solve_time_per_iter(
     tg, wg = init_sphere(dims, (vs, vs, vs), (0.5, 0.5, 0.5), 0.2, trunc, eta)
     tn, wn = init_sphere(dims, (vs, vs, vs), (0.49, 0.5, 0.5), 0.2, trunc, eta)
     taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in _np.asarray(taps))
 
     def run(iters: int) -> float:
         psi = fields.identity_field(dims)
@@ -63,7 +66,12 @@ def solve_time_per_iter(
             jnp.float32(0.05), jnp.float32(0.2),
             jnp.int32(iters), jnp.float32(-1.0),  # never converge early
         )
-        if n_chunks:
+        if fused:
+            res = solver.estimate_psi(
+                *common, inverse_iters=4, warp_window=warp_window,
+                fused_db=True, taps_static=taps_static,
+            )
+        elif n_chunks:
             res = solver.estimate_psi_chunked(
                 *common, n_chunks=n_chunks, warp_window=warp_window,
                 inverse_iters=4, conv_mxu=conv_mxu,
@@ -116,17 +124,24 @@ def fps_at_convergence(dim: int, conv_mxu: bool) -> dict:
         dims, (vs,) * 3, (0.5 - 1.3 * vs, 0.5, 0.5), 0.205, trunc, eta
     )
     taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
     # measured trajectory (momentum 0.9, this scene): max_norm 1e-3 at
     # ~iter 400 with the data energy already ~3x below what plain GD
     # reaches at 1024 iterations; 2e-4 only arrives at the iteration cap
     thresh = jnp.float32(1e-3)
     cap = jnp.int32(1024)
-    chunks = 8 if dim >= 128 else 0
+    fused = conv_mxu and dim % 128 == 0  # conv_mxu flags "on TPU" here
+    chunks = 8 if (dim >= 128 and not fused) else 0
 
     def run_mom():
         psi = fields.identity_field(dims)
         common = (psi, tg, wg, tn, wn, taps, jnp.float32(0.05),
                   jnp.float32(0.2), cap, thresh)
+        if fused:
+            return solver.estimate_psi(
+                *common, warp_window=2, momentum=0.9,
+                fused_db=True, taps_static=taps_static,
+            )
         if chunks:
             return solver.estimate_psi_chunked(
                 *common, n_chunks=chunks, warp_window=2, momentum=0.9,
@@ -189,14 +204,26 @@ def main():
     n_lo, n_hi = (64, 1024) if on_tpu else (4, 16)
     K = 2
 
-    # z-chunked state restores XLA fusion at >=128^3; MXU banded-matmul
-    # convolutions (conv_mxu) on TPU: measured 1.28 -> 0.82 ms/iter at 128^3
+    # production TPU path: the double-buffered fused Pallas GD kernel
+    # (ops/pallas_kernels.fused_gd_iteration_db) — one VMEM-resident pass
+    # per iteration. Falls back to the chunked + MXU-conv XLA path if the
+    # pool's Mosaic compile helper is down.
     chunks = 8 if (on_tpu and dim >= 128) else 0
-    per_iter = _with_retries(
-        lambda: solve_time_per_iter(
-            dim, K, n_lo, n_hi, n_chunks=chunks, conv_mxu=on_tpu
+    try:
+        per_iter = _with_retries(
+            lambda: solve_time_per_iter(dim, K, n_lo, n_hi, fused=True),
+            attempts=2,
+        ) if on_tpu else None
+    except Exception:  # noqa: BLE001 — Mosaic helper flakiness
+        per_iter = None
+    solver_path = "fused_pallas"
+    if per_iter is None:
+        solver_path = "chunked_xla"
+        per_iter = _with_retries(
+            lambda: solve_time_per_iter(
+                dim, K, n_lo, n_hi, n_chunks=chunks, conv_mxu=on_tpu
+            )
         )
-    )
     voxel_iters_per_sec = dim**3 / per_iter
 
     # the reference's own headline workload: 64^3 at 2048 iters -> ~2 fps
@@ -208,19 +235,20 @@ def main():
     )
     fps_64 = 1.0 / (per_iter_64 * 2048)
 
-    # scaling point: 256^3 with the z-chunked solve (TPU only)
+    # scaling point: 256^3 (fused kernel; chunked-XLA fallback; TPU only)
     vox_per_sec_256 = None
+    per_iter_256 = None
     if on_tpu:
-        try:
-            per_iter_256 = _with_retries(
-                lambda: solve_time_per_iter(
-                    256, K, 16, 128, n_chunks=32, conv_mxu=True
-                ),
-                attempts=2,
-            )
-            vox_per_sec_256 = 256**3 / per_iter_256
-        except Exception:  # noqa: BLE001 — secondary metric, never fatal
-            pass
+        for kwargs in ({"fused": True}, {"n_chunks": 32, "conv_mxu": True}):
+            try:
+                per_iter_256 = _with_retries(
+                    lambda: solve_time_per_iter(256, K, 16, 128, **kwargs),
+                    attempts=2,
+                )
+                vox_per_sec_256 = 256**3 / per_iter_256
+                break
+            except Exception:  # noqa: BLE001 — secondary metric, never fatal
+                pass
 
     # production mode run to convergence (momentum + window + MXU convs),
     # with plain-GD energy equivalence evidence (VERDICT item 3)
@@ -242,7 +270,11 @@ def main():
         "platform": platform,
         "grid": dim,
         "warp_window": K,
+        "solver_path": solver_path,
         "per_iter_ms": round(per_iter * 1e3, 4),
+        "per_iter_ms_256cubed": (
+            round(per_iter_256 * 1e3, 4) if per_iter_256 else None
+        ),
         "fps_at_2048_iters": round(1.0 / frame_s_2048, 3),
         f"fps_at_{dim_ref}cubed_2048_iters": round(fps_64, 2),
         "voxel_iters_per_sec_256cubed_chunked": (

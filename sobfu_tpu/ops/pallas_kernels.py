@@ -290,12 +290,20 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
 #     dim only (the Mosaic-safe pattern established above).
 
 
-def _make_warp_kernel(C, BZ, Y, X, K, Zg, floor):
-    """Bounded-window warp kernel body: one z-tile of C channels."""
+def _make_warp_kernel(BZ, Y, X, K, Zg, floor):
+    """Bounded-window warp kernel body: one z-tile of ONE channel.
+
+    Channels ride the grid (z-major, channel-minor) rather than an
+    in-kernel loop: Mosaic stack-allocates every value of an unrolled
+    channel loop, and the C=3 variant at 128^3 overflowed the 16 MB
+    scoped-vmem budget (measured: 17.06M). The psi block's index map
+    ignores the channel coordinate, so the pipeline re-uses it across
+    the C consecutive steps of each z-tile.
+    """
 
     def kernel(vol_ref, psi_ref, out_ref):
-        # vol_ref: f32[1, C, BZ+2K, Y+2K, X] overlapping tile (edge-padded)
-        # psi_ref: f32[3, BZ, Y, X] absolute coords; out_ref: f32[C, BZ, Y, X]
+        # vol_ref: f32[1, 1, BZ+2K, Y+2K, X] overlapping tile (edge-padded)
+        # psi_ref: f32[3, BZ, Y, X] absolute coords; out_ref: f32[1, BZ, Y, X]
         iz = pl.program_id(0)
         z0 = iz * BZ
         shape_o = (BZ, Y, X)
@@ -326,34 +334,31 @@ def _make_warp_kernel(C, BZ, Y, X, K, Zg, floor):
         wxs = [wfn(dx, ox) for ox in range(-K, K + 1)]
         wys = [wfn(dy, oy) for oy in range(-K, K + 1)]
 
-        Wn = 2 * K + 1
-        for c in range(C):
+        def warp_body(i, acc):
+            # z offset via fori_loop (values are reused across iterations
+            # — full unrolling stack-OOMs Mosaic); dynamic start on the
+            # MAJOR dim only. The 2K+1 lane shifts are hoisted per z-row
+            # block so the (oy, ox) body is a pure static-slice FMA:
+            # (2K+1)^2 rolls total instead of (2K+1)^3.
+            oz = i - K
+            lz = vol_ref[0, 0, pl.ds(K + oz, BZ), :, :]
+            lxz = [_shift_x_edge(lz, ox, X) for ox in range(-K, K + 1)]
+            acc_y = jnp.zeros(shape_o, jnp.float32)
+            for oy in range(-K, K + 1):
+                acc_x = jnp.zeros(shape_o, jnp.float32)
+                for ox in range(-K, K + 1):
+                    lzy = lxz[ox + K][:, K + oy : K + oy + Y, :]
+                    acc_x = acc_x + wxs[ox + K] * lzy
+                acc_y = acc_y + wys[oy + K] * acc_x
+            if floor:
+                wz = (dz == oz.astype(jnp.float32)).astype(jnp.float32)
+            else:
+                wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz))
+            return acc + wz * acc_y
 
-            def warp_body(i, acc, c=c):
-                # z offset via fori_loop (values are reused across iterations
-                # — full unrolling stack-OOMs Mosaic); dynamic start on the
-                # MAJOR dim only. The 2K+1 lane shifts are hoisted per z-row
-                # block so the (oy, ox) body is a pure static-slice FMA:
-                # (2K+1)^2 rolls total instead of (2K+1)^3.
-                oz = i - K
-                lz = vol_ref[0, c, pl.ds(K + oz, BZ), :, :]
-                lxz = [_shift_x_edge(lz, ox, X) for ox in range(-K, K + 1)]
-                acc_y = jnp.zeros(shape_o, jnp.float32)
-                for oy in range(-K, K + 1):
-                    acc_x = jnp.zeros(shape_o, jnp.float32)
-                    for ox in range(-K, K + 1):
-                        lzy = lxz[ox + K][:, K + oy : K + oy + Y, :]
-                        acc_x = acc_x + wxs[ox + K] * lzy
-                    acc_y = acc_y + wys[oy + K] * acc_x
-                if floor:
-                    wz = (dz == oz.astype(jnp.float32)).astype(jnp.float32)
-                else:
-                    wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz))
-                return acc + wz * acc_y
-
-            out_ref[c] = jax.lax.fori_loop(
-                0, Wn, warp_body, jnp.zeros(shape_o, jnp.float32)
-            )
+        out_ref[0] = jax.lax.fori_loop(
+            0, 2 * K + 1, warp_body, jnp.zeros(shape_o, jnp.float32)
+        )
 
     return kernel
 
@@ -396,20 +401,20 @@ def window_warp_pallas(
     vol_t = _stack_overlapping_z(vol_pad, nz, BZ, K)
 
     out = pl.pallas_call(
-        _make_warp_kernel(C, BZ, Y, X, K, Z, floor),
-        grid=(nz,),
+        _make_warp_kernel(BZ, Y, X, K, Z, floor),
+        grid=(nz, C),  # channel-minor: psi block re-used across channels
         in_specs=[
             pl.BlockSpec(
-                (1, C, BZ + 2 * K, Y + 2 * K, X),
-                lambda i: (i, 0, 0, 0, 0),
+                (1, 1, BZ + 2 * K, Y + 2 * K, X),
+                lambda i, c: (i, c, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, BZ, Y, X), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+                (3, BZ, Y, X), lambda i, c: (0, i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (C, BZ, Y, X), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            (1, BZ, Y, X), lambda i, c: (c, i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((C, Z, Y, X), jnp.float32),
         interpret=interpret,
@@ -848,3 +853,23 @@ def fused_gd_step(
     )(scal, psi_pad, tnp_pad, tg_pad, live_pad)
 
     return psi_new, tnp_new, jnp.max(mx_tiles)
+
+
+def estimate_inverse_window_pallas(
+    psi: jnp.ndarray, iters: int = 48, K: int = 2, BZ: int = 8
+) -> jnp.ndarray:
+    """Fixed-point inverse (vector_fields.cu:111-138 semantics) with each
+    displacement interpolation running as the pipelined Pallas window-warp
+    kernel — the TPU tail-path companion of fields.estimate_inverse_window
+    (same window semantics, C=3 field sampling per step)."""
+    dims = psi.shape[1:]
+    zz = jax.lax.broadcasted_iota(jnp.float32, dims, 0)
+    yy = jax.lax.broadcasted_iota(jnp.float32, dims, 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, dims, 2)
+    ident = jnp.stack([xx, yy, zz], axis=0)
+    disp = psi - ident
+
+    def body(_, psi_inv):
+        return ident - window_warp_pallas(disp, psi_inv, K=K, BZ=BZ)
+
+    return jax.lax.fori_loop(0, iters, body, ident)

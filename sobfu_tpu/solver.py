@@ -264,17 +264,24 @@ def estimate_psi(
         warp_scalar = fields.sample_trilinear
         warp_floor = fields.sample_nearest_floor
         inverse = functools.partial(fields.estimate_inverse, iters=inverse_iters)
-    elif warp_pallas:
-        from sobfu_tpu.ops.pallas_kernels import window_warp_pallas
+    elif (warp_pallas or fused_db) and not db_interpret:
+        # fused_db implies the Mosaic toolchain works — run the per-solve
+        # tails (initial warp, 48-step inverse, final warps) through the
+        # pipelined Pallas warp kernel too; with the loop fused these tails
+        # otherwise dominate the frame (48 C=3 window samples in XLA).
+        from sobfu_tpu.ops.pallas_kernels import (
+            estimate_inverse_window_pallas,
+            window_warp_pallas,
+        )
 
         warp_scalar = functools.partial(window_warp_pallas, K=warp_window)
         warp_floor = functools.partial(
             window_warp_pallas, K=warp_window, floor=True
         )
         inverse = functools.partial(
-            fields.estimate_inverse_window,
+            estimate_inverse_window_pallas,
             iters=inverse_iters,
-            max_disp=warp_window,
+            K=warp_window,
         )
     else:
         warp_scalar = functools.partial(
