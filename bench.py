@@ -138,9 +138,12 @@ def fps_at_convergence(dim: int, conv_mxu: bool) -> dict:
         common = (psi, tg, wg, tn, wn, taps, jnp.float32(0.05),
                   jnp.float32(0.2), cap, thresh)
         if fused:
-            return solver.estimate_psi(
-                *common, warp_window=2, momentum=0.9,
-                fused_db=True, taps_static=taps_static,
+            # production mode: 2-level coarse-to-fine + momentum + fused
+            # kernel (the coarse level warm-starts the fine solve; same
+            # fixed point, fewer full-resolution iterations)
+            return solver.estimate_psi_pyramid(
+                *common, levels=2, warp_window=2, momentum=0.9,
+                fused_db=True, taps_static=taps_static, conv_mxu=conv_mxu,
             )
         if chunks:
             return solver.estimate_psi_chunked(

@@ -106,6 +106,11 @@ class Params:
     # faster full iterations at 128^3 (bit-identical results). Opt-in — the
     # pool's Mosaic compile helper is intermittently unavailable.
     warp_pallas: "bool | None" = None
+    # coarse-to-fine solve: estimate the low-frequency deformation on
+    # 2x-downsampled volumes first (8x cheaper per iteration), then refine
+    # at full resolution — same fixed point, fewer fine iterations
+    # (additive mode; composes with momentum and the fused kernel). 1 = off.
+    pyramid_levels: int = 1
     # run each gradient-descent iteration as ONE double-buffered fused
     # Pallas kernel (ops/pallas_kernels.fused_gd_iteration_db): stencils +
     # potential gradient + Sobolev convolutions + update + windowed warp in
@@ -206,6 +211,8 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         p.conv_mxu = vm["CONV_MXU"].strip().lower() in ("1", "true", "yes")
     if "WARP_PALLAS" in vm:
         p.warp_pallas = vm["WARP_PALLAS"].strip().lower() in ("1", "true", "yes")
+    if "PYRAMID_LEVELS" in vm:
+        p.pyramid_levels = int(vm["PYRAMID_LEVELS"])
     if "FUSED_PALLAS" in vm:
         p.fused_pallas = vm["FUSED_PALLAS"].strip().lower() in ("1", "true", "yes")
     if "INCREMENTAL_INV" in vm:

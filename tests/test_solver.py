@@ -667,3 +667,50 @@ def test_auto_chunked_verbose_prints_energies(capsys):
     out = capsys.readouterr().out
     assert out.count("data energy") == 4, out
     assert "max. update norm" in out
+
+
+def test_pyramid_reaches_oracle_energy_with_fewer_fine_iters():
+    """Coarse-to-fine warm start (estimate_psi_pyramid): reaches at least
+    the energy plain full-resolution GD reaches, with fewer total
+    iterations than the momentum-only solve (the coarse share of them is
+    8x cheaper on top)."""
+    dim = 32
+    vs = 1.0 / dim
+    dims = (dim,) * 3
+    from sobfu_tpu.tsdf import init_sphere
+
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.20, 8 * vs, 3 * vs)
+    tn, wn = init_sphere(
+        dims, (vs,) * 3, (0.5 - 1.3 * vs, 0.5, 0.5), 0.205, 8 * vs, 3 * vs
+    )
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    common = (
+        fields.identity_field(dims), tg, wg, tn, wn, taps,
+        jnp.float32(0.05), jnp.float32(0.2), jnp.int32(512), jnp.float32(1e-3),
+    )
+    gd = solver.estimate_psi(*common, warp_window=2)
+    mom = solver.estimate_psi(*common, warp_window=2, momentum=0.9)
+    pyr = solver.estimate_psi_pyramid(
+        *common, levels=2, warp_window=2, momentum=0.9
+    )
+    e_gd = float(solver.data_energy(tg, gd.tsdf_n_psi))
+    e_pyr = float(solver.data_energy(tg, pyr.tsdf_n_psi))
+    assert e_pyr <= e_gd * 1.05, (e_pyr, e_gd)
+    assert int(pyr.iters) < int(mom.iters) < int(gd.iters)
+    assert not np.isnan(np.asarray(pyr.psi)).any()
+
+
+def test_pyramid_solver_dispatch():
+    """PYRAMID_LEVELS knob: honored when dims halve evenly, dropped
+    otherwise."""
+    p = Params()
+    p.warp_window = 2
+    p.pyramid_levels = 2
+    s = solver.Solver(p)
+    assert s.pyramid_levels == 2
+
+    p2 = Params()
+    p2.volume_dims = (127, 127, 127)
+    p2.pyramid_levels = 2
+    s2 = solver.Solver(p2)
+    assert s2.pyramid_levels == 1
