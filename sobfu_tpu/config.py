@@ -106,6 +106,15 @@ class Params:
     # faster full iterations at 128^3 (bit-identical results). Opt-in — the
     # pool's Mosaic compile helper is intermittently unavailable.
     warp_pallas: "bool | None" = None
+    # fixed-point iterations for the inverse deformation field. None =
+    # reference parity (48, vector_fields.cu:122); production window-mode
+    # runs pair INVERSE_WARM with a smaller count.
+    inverse_iters: "int | None" = None
+    # warm-start the inverse fixed point from the previous frame's inverse
+    # (additive window mode): same accuracy as 48-from-identity in ~12
+    # iterations (the fixed point moves little per frame). None = auto
+    # (on when a warp window is set).
+    inverse_warm: "bool | None" = None
     # coarse-to-fine solve: estimate the low-frequency deformation on
     # 2x-downsampled volumes first (8x cheaper per iteration), then refine
     # at full resolution — same fixed point, fewer fine iterations
@@ -211,6 +220,10 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         p.conv_mxu = vm["CONV_MXU"].strip().lower() in ("1", "true", "yes")
     if "WARP_PALLAS" in vm:
         p.warp_pallas = vm["WARP_PALLAS"].strip().lower() in ("1", "true", "yes")
+    if "INVERSE_ITERS" in vm:
+        p.inverse_iters = int(vm["INVERSE_ITERS"])
+    if "INVERSE_WARM" in vm:
+        p.inverse_warm = vm["INVERSE_WARM"].strip().lower() in ("1", "true", "yes")
     if "PYRAMID_LEVELS" in vm:
         p.pyramid_levels = int(vm["PYRAMID_LEVELS"])
     if "FUSED_PALLAS" in vm:

@@ -29,7 +29,7 @@ Numerical contracts preserved from the reference:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -436,13 +436,21 @@ def _window_sample_zoffset(vol_full, psi_local, z0, K, weight_fn, floor_coords):
 
 @functools.partial(jax.jit, static_argnames=("iters", "max_disp"))
 def estimate_inverse_window(
-    psi: jnp.ndarray, iters: int = 48, max_disp: int = 4
+    psi: jnp.ndarray,
+    iters: int = 48,
+    max_disp: int = 4,
+    init: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fixed-point inverse using the gather-free window sampler.
 
     Same iteration as :func:`estimate_inverse` (vector_fields.cu:111-138) but
     each displacement interpolation is a bounded-window shift sum; valid when
     the deformation magnitude stays under ``max_disp`` voxels.
+
+    init: optional warm start (e.g. the previous frame's inverse — the
+    fixed point moves little frame-to-frame, so far fewer iterations reach
+    the same accuracy as the reference's 48-from-identity). None = identity
+    (reference semantics).
     """
     ident = identity_field(psi.shape[1:], psi.dtype)
     disp = psi - ident
@@ -450,7 +458,7 @@ def estimate_inverse_window(
     def body(_, psi_inv):
         return ident - sample_trilinear_window(disp, psi_inv, max_disp)
 
-    return jax.lax.fori_loop(0, iters, body, ident)
+    return jax.lax.fori_loop(0, iters, body, ident if init is None else init)
 
 
 @jax.jit
@@ -498,12 +506,15 @@ def warp_tsdf(
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def estimate_inverse(psi: jnp.ndarray, iters: int = 48) -> jnp.ndarray:
+def estimate_inverse(
+    psi: jnp.ndarray, iters: int = 48, init: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     """Fixed-point inverse: psi_inv <- id - disp(psi) o psi_inv, ``iters`` steps.
 
     Mirrors reference estimate_inverse (vector_fields.cu:111-138; hard-coded
     48 iterations). The displacement field is precomputed once — psi is
-    constant during the iteration.
+    constant during the iteration. ``init`` optionally warm-starts the
+    iteration (None = identity, reference semantics).
     """
     ident = identity_field(psi.shape[1:], psi.dtype)
     disp = psi - ident
@@ -511,7 +522,7 @@ def estimate_inverse(psi: jnp.ndarray, iters: int = 48) -> jnp.ndarray:
     def body(_, psi_inv):
         return ident - sample_field_trilinear(disp, psi_inv)
 
-    return jax.lax.fori_loop(0, iters, body, ident)
+    return jax.lax.fori_loop(0, iters, body, ident if init is None else init)
 
 
 # ---------------------------------------------------------------------------

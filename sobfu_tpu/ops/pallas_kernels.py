@@ -290,25 +290,30 @@ def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
 #     dim only (the Mosaic-safe pattern established above).
 
 
-def _make_warp_kernel(BZ, Y, X, K, Zg, floor):
-    """Bounded-window warp kernel body: one z-tile of ONE channel.
+def _make_warp_kernel(BZ, TY, Y, X, K, Zg, floor):
+    """Bounded-window warp kernel body: one (z, y)-tile of ONE channel.
 
-    Channels ride the grid (z-major, channel-minor) rather than an
+    Channels ride the grid (tile-major, channel-minor) rather than an
     in-kernel loop: Mosaic stack-allocates every value of an unrolled
     channel loop, and the C=3 variant at 128^3 overflowed the 16 MB
     scoped-vmem budget (measured: 17.06M). The psi block's index map
     ignores the channel coordinate, so the pipeline re-uses it across
-    the C consecutive steps of each z-tile.
+    the C consecutive steps of each tile. y is tiled as well (TY) — the
+    whole-Y variant blows scoped vmem past 128 rows at X=256.
     """
 
     def kernel(vol_ref, psi_ref, out_ref):
-        # vol_ref: f32[1, 1, BZ+2K, Y+2K, X] overlapping tile (edge-padded)
-        # psi_ref: f32[3, BZ, Y, X] absolute coords; out_ref: f32[1, BZ, Y, X]
+        # vol_ref: f32[1, 1, 1, BZ+2K, TY+2K, X] overlapping tile (edge-padded)
+        # psi_ref: f32[3, BZ, TY, X] absolute coords; out: f32[1, BZ, TY, X]
         iz = pl.program_id(0)
+        iy = pl.program_id(1)
         z0 = iz * BZ
-        shape_o = (BZ, Y, X)
+        y0 = iy * TY
+        shape_o = (BZ, TY, X)
         vx = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2).astype(jnp.float32)
-        vy = jax.lax.broadcasted_iota(jnp.int32, shape_o, 1).astype(jnp.float32)
+        vy = (
+            jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) + y0
+        ).astype(jnp.float32)
         vz = (
             jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0
         ).astype(jnp.float32)
@@ -341,13 +346,13 @@ def _make_warp_kernel(BZ, Y, X, K, Zg, floor):
             # block so the (oy, ox) body is a pure static-slice FMA:
             # (2K+1)^2 rolls total instead of (2K+1)^3.
             oz = i - K
-            lz = vol_ref[0, 0, pl.ds(K + oz, BZ), :, :]
+            lz = vol_ref[0, 0, 0, pl.ds(K + oz, BZ), :, :]
             lxz = [_shift_x_edge(lz, ox, X) for ox in range(-K, K + 1)]
             acc_y = jnp.zeros(shape_o, jnp.float32)
             for oy in range(-K, K + 1):
                 acc_x = jnp.zeros(shape_o, jnp.float32)
                 for ox in range(-K, K + 1):
-                    lzy = lxz[ox + K][:, K + oy : K + oy + Y, :]
+                    lzy = lxz[ox + K][:, K + oy : K + oy + TY, :]
                     acc_x = acc_x + wxs[ox + K] * lzy
                 acc_y = acc_y + wys[oy + K] * acc_x
             if floor:
@@ -363,58 +368,80 @@ def _make_warp_kernel(BZ, Y, X, K, Zg, floor):
     return kernel
 
 
-def _stack_overlapping_z(vol_pad, nz, BZ, K):
-    """(.., Z+2K, Y+2K, X) padded volume -> (nz, .., BZ+2K, Y+2K, X) tiles."""
-    tiles = [
-        jax.lax.slice_in_dim(vol_pad, i * BZ, i * BZ + BZ + 2 * K,
-                             axis=vol_pad.ndim - 3)
+def _stack_overlapping_zy(vol_pad, nz, ny, BZ, TY, K):
+    """(C, Z+2K, Y+2K, X) padded volume -> (nz, ny, C, BZ+2K, TY+2K, X)
+    overlapping tiles (one pipeline block per (z, y, channel) tile)."""
+    zax = vol_pad.ndim - 3
+    ztiles = [
+        jax.lax.slice_in_dim(vol_pad, i * BZ, i * BZ + BZ + 2 * K, axis=zax)
         for i in range(nz)
+    ]
+    tiles = [
+        jnp.stack(
+            [
+                jax.lax.slice_in_dim(zt, j * TY, j * TY + TY + 2 * K,
+                                     axis=zax + 1)
+                for j in range(ny)
+            ],
+            axis=0,
+        )
+        for zt in ztiles
     ]
     return jnp.stack(tiles, axis=0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("K", "BZ", "floor", "interpret")
+    jax.jit, static_argnames=("K", "BZ", "TY", "floor", "interpret")
 )
 def window_warp_pallas(
     vol: jnp.ndarray,  # f32[Z, Y, X] or f32[C, Z, Y, X]
     psi: jnp.ndarray,  # f32[3, Z, Y, X] absolute coords (voxel units)
     K: int = 2,
     BZ: int = 8,
+    TY: int = 0,
     floor: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Bounded-window trilinear (or floor-corner) warp as a pipelined Pallas
     kernel. Semantics identical to fields.sample_trilinear_window /
     sample_nearest_floor_window; valid while displacements stay within K.
+
+    TY=0 picks the default y-tile: whole Y up to 128 rows, 64 beyond
+    (whole-Y tiles at X=256 exceed the scoped-vmem budget).
     """
     squeeze = vol.ndim == 3
     if squeeze:
         vol = vol[None]
     C, Z, Y, X = vol.shape
-    assert Z % BZ == 0, (Z, BZ)
-    nz = Z // BZ
+    if TY == 0:
+        TY = Y if Y <= 128 else 64
+        while Y % TY:
+            TY //= 2
+    assert Z % BZ == 0 and Y % TY == 0, (Z, BZ, Y, TY)
+    nz, ny = Z // BZ, Y // TY
 
     vol_pad = jnp.pad(
         vol, [(0, 0), (K, K), (K, K), (0, 0)], mode="edge"
     )
-    vol_t = _stack_overlapping_z(vol_pad, nz, BZ, K)
+    vol_t = _stack_overlapping_zy(vol_pad, nz, ny, BZ, TY, K)
 
     out = pl.pallas_call(
-        _make_warp_kernel(BZ, Y, X, K, Z, floor),
-        grid=(nz, C),  # channel-minor: psi block re-used across channels
+        _make_warp_kernel(BZ, TY, Y, X, K, Z, floor),
+        grid=(nz, ny, C),  # channel-minor: psi block re-used across channels
         in_specs=[
             pl.BlockSpec(
-                (1, 1, BZ + 2 * K, Y + 2 * K, X),
-                lambda i, c: (i, c, 0, 0, 0),
+                (1, 1, 1, BZ + 2 * K, TY + 2 * K, X),
+                lambda i, j, c: (i, j, c, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, BZ, Y, X), lambda i, c: (0, i, 0, 0), memory_space=pltpu.VMEM
+                (3, BZ, TY, X),
+                lambda i, j, c: (0, i, j, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, BZ, Y, X), lambda i, c: (c, i, 0, 0), memory_space=pltpu.VMEM
+            (1, BZ, TY, X), lambda i, j, c: (c, i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((C, Z, Y, X), jnp.float32),
         interpret=interpret,
@@ -652,9 +679,13 @@ def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles):
 
 
 def _db_tiles(Z, Y, X):
-    """Default (BZ, TY) tile geometry: sublane-aligned, VMEM-safe."""
+    """Default (BZ, TY) tile geometry: sublane-aligned, VMEM-safe.
+
+    Scratch scales with TY*X, so TY shrinks as the lane extent grows
+    (measured: BZ=8/TY=32 compiles at X=128 and every larger tile fails
+    Mosaic's scoped-vmem check; TY=16 at X=256, TY=8 at X=512)."""
     BZ = 8
-    TY = 32 if X <= 128 else 16
+    TY = 32 if X <= 128 else (16 if X <= 256 else 8)
     while Y % TY:
         TY //= 2
     return BZ, TY
@@ -681,10 +712,41 @@ def fused_gd_iteration_db(
     when momentum is None.
 
     The loop-invariant tg/live volumes are taken PRE-PADDED so their pads are
-    paid once per solve; psi/tnp are padded here every iteration (one fused
-    XLA copy each — ~70 MB at 128^3, the price of uniform halo reads).
+    paid once per solve; psi/tnp are padded here every iteration. For the
+    production loop use :func:`fused_gd_iteration_db_padded` with
+    :func:`refresh_padded` state instead — it avoids the full pad copies.
     """
-    Z, Y, X = tnp.shape
+    psi_pad = pad_for_db(psi)
+    tnp_pad = pad_for_db(tnp)
+    return fused_gd_iteration_db_padded(
+        psi_pad, tnp_pad, vel, tg_pad, live_pad, alpha, w_reg, taps_static,
+        K=K, BZ=BZ, TY=TY, momentum=momentum, interpret=interpret,
+    )
+
+
+def fused_gd_iteration_db_padded(
+    psi_pad: jnp.ndarray,  # f32[3, Z+2H, Y+2H, X] edge-padded state
+    tnp_pad: jnp.ndarray,  # f32[Z+2H, Y+2H, X] edge-padded state
+    vel,  # f32[3, Z, Y, X] or None
+    tg_pad: jnp.ndarray,
+    live_pad: jnp.ndarray,
+    alpha: jnp.ndarray,
+    w_reg: jnp.ndarray,
+    taps_static: Tuple[float, ...],
+    *,
+    K: int = 2,
+    BZ: int = 0,
+    TY: int = 0,
+    momentum=None,
+    interpret: bool = False,
+):
+    """Core of :func:`fused_gd_iteration_db` taking PADDED psi/tnp state
+    (see :func:`refresh_padded`). Returns center-sized outputs."""
+    Z, Y, X = (
+        tnp_pad.shape[0] - 2 * _H,
+        tnp_pad.shape[1] - 2 * _H,
+        tnp_pad.shape[2],
+    )
     if not BZ or not TY:
         dBZ, dTY = _db_tiles(Z, Y, X)
         BZ = BZ or dBZ
@@ -694,10 +756,6 @@ def fused_gd_iteration_db(
     assert 1 <= K <= _H, f"window K={K} must fit the fixed halo {_H}"
     assert Z % BZ == 0 and Y % TY == 0 and TY % 8 == 0, (Z, BZ, Y, TY)
     assert tg_pad.shape == (Z + 2 * _H, Y + 2 * _H, X)
-
-    pad_h = [(0, 0), (_H, _H), (_H, _H), (0, 0)]
-    psi_pad = jnp.pad(psi, pad_h, mode="edge")
-    tnp_pad = jnp.pad(tnp, pad_h[1:], mode="edge")
 
     nz, ny = Z // BZ, Y // TY
     grid = (nz, ny)
@@ -769,7 +827,54 @@ def fused_gd_iteration_db(
 
 def pad_for_db(vol: jnp.ndarray) -> jnp.ndarray:
     """Edge-pad a volume by the fixed kernel halo (loop-invariant inputs)."""
-    return jnp.pad(vol, [(_H, _H), (_H, _H), (0, 0)], mode="edge")
+    lead = [(0, 0)] * (vol.ndim - 3)
+    return jnp.pad(vol, lead + [(_H, _H), (_H, _H), (0, 0)], mode="edge")
+
+
+def refresh_padded(buf: jnp.ndarray, center: jnp.ndarray) -> jnp.ndarray:
+    """Write `center` into the interior of an edge-padded buffer and refresh
+    the replicated border strips.
+
+    Loop-state companion of :func:`pad_for_db`: a full jnp.pad each
+    iteration reads AND writes the whole volume (~52 MB at 128^3, 420 MB at
+    256^3 for psi); updating the carried padded buffer in place (XLA turns
+    the dynamic_update_slice on a loop-carried buffer into an in-place
+    write) costs only the interior write plus four O(halo * face) strips.
+    """
+    nd = center.ndim
+    zax, yax = nd - 3, nd - 2
+    Z, Y = center.shape[zax], center.shape[yax]
+    start = (0,) * (nd - 3) + (_H, _H, 0)
+    buf = jax.lax.dynamic_update_slice(buf, center, start)
+
+    def rep(a, ax):
+        return jnp.repeat(a, _H, axis=ax)
+
+    # y strips from the center's edge columns (z extent: interior rows)
+    lo_y = rep(jax.lax.slice_in_dim(center, 0, 1, axis=yax), yax)
+    hi_y = rep(jax.lax.slice_in_dim(center, Y - 1, Y, axis=yax), yax)
+    buf = jax.lax.dynamic_update_slice(buf, lo_y, (0,) * (nd - 3) + (_H, 0, 0))
+    buf = jax.lax.dynamic_update_slice(
+        buf, hi_y, (0,) * (nd - 3) + (_H, _H + Y, 0)
+    )
+    # z strips from the (now y-padded) edge rows — corners included
+    row_lo = jax.lax.slice_in_dim(buf, _H, _H + 1, axis=zax)
+    row_hi = jax.lax.slice_in_dim(buf, _H + Z - 1, _H + Z, axis=zax)
+    buf = jax.lax.dynamic_update_slice(
+        buf, rep(row_lo, zax), (0,) * (nd - 3) + (0, 0, 0)
+    )
+    buf = jax.lax.dynamic_update_slice(
+        buf, rep(row_hi, zax), (0,) * (nd - 3) + (_H + Z, 0, 0)
+    )
+    return buf
+
+
+def unpad_db(buf: jnp.ndarray) -> jnp.ndarray:
+    """Interior of an _H-edge-padded array."""
+    nd = buf.ndim
+    sl = (Ellipsis, slice(_H, buf.shape[nd - 3] - _H),
+          slice(_H, buf.shape[nd - 2] - _H), slice(None))
+    return buf[sl]
 
 
 @functools.partial(
@@ -856,12 +961,13 @@ def fused_gd_step(
 
 
 def estimate_inverse_window_pallas(
-    psi: jnp.ndarray, iters: int = 48, K: int = 2, BZ: int = 8
+    psi: jnp.ndarray, iters: int = 48, K: int = 2, BZ: int = 8, init=None
 ) -> jnp.ndarray:
     """Fixed-point inverse (vector_fields.cu:111-138 semantics) with each
     displacement interpolation running as the pipelined Pallas window-warp
     kernel — the TPU tail-path companion of fields.estimate_inverse_window
-    (same window semantics, C=3 field sampling per step)."""
+    (same window semantics, C=3 field sampling per step). ``init`` warm-
+    starts the iteration (previous frame's inverse); None = identity."""
     dims = psi.shape[1:]
     zz = jax.lax.broadcasted_iota(jnp.float32, dims, 0)
     yy = jax.lax.broadcasted_iota(jnp.float32, dims, 1)
@@ -872,4 +978,4 @@ def estimate_inverse_window_pallas(
     def body(_, psi_inv):
         return ident - window_warp_pallas(disp, psi_inv, K=K, BZ=BZ)
 
-    return jax.lax.fori_loop(0, iters, body, ident)
+    return jax.lax.fori_loop(0, iters, body, ident if init is None else init)

@@ -218,6 +218,7 @@ def estimate_psi(
     w_reg: jnp.ndarray,
     max_iter: jnp.ndarray,
     max_update_norm_thresh: jnp.ndarray,
+    psi_inv0: Optional[jnp.ndarray] = None,
     *,
     record_energy: bool = False,
     energy_cap: int = 0,
@@ -247,6 +248,12 @@ def estimate_psi(
     kernel (:func:`sobfu_tpu.ops.pallas_kernels.fused_gd_step`) — requires
     warp_window (the fused warp is bounded-window) and grid dims tiling
     evenly by (pallas_block_z, pallas_tile_y).
+
+    psi_inv0: optional warm start for the inverse-field fixed point (the
+    previous frame's inverse): the fixed point moves little between
+    frames, so pair it with a reduced ``inverse_iters`` for the same
+    accuracy as the reference's 48-from-identity at a fraction of the
+    tail cost. None (default) = identity init, reference semantics.
 
     momentum: optional heavy-ball coefficient mu (e.g. 0.9) — a TPU
     extension accelerating the reference's plain gradient descent:
@@ -297,7 +304,12 @@ def estimate_psi(
         )
 
     if fused_db:
-        from sobfu_tpu.ops.pallas_kernels import pad_for_db
+        from sobfu_tpu.ops.pallas_kernels import (
+            fused_gd_iteration_db_padded,
+            pad_for_db,
+            refresh_padded,
+            unpad_db,
+        )
 
         assert warp_window is not None, "fused_db requires warp_window"
         assert taps_static is not None, "fused_db requires taps_static"
@@ -308,9 +320,10 @@ def estimate_psi(
         psi, tsdf_n_psi = state.psi, state.tsdf_n_psi
 
         if fused_db:
-            from sobfu_tpu.ops.pallas_kernels import fused_gd_iteration_db
-
-            psi_new, tsdf_new, vel_new, mx_sq = fused_gd_iteration_db(
+            # state.psi / state.tsdf_n_psi carry the EDGE-PADDED arrays in
+            # this branch (refresh_padded updates them in place — cheaper
+            # than a full jnp.pad per iteration)
+            psi_c, tnp_c, vel_new, mx_sq = fused_gd_iteration_db_padded(
                 psi,
                 tsdf_n_psi,
                 state.vel if momentum is not None else None,
@@ -323,6 +336,8 @@ def estimate_psi(
                 momentum=momentum,
                 interpret=db_interpret,
             )
+            psi_new = refresh_padded(psi, psi_c)
+            tsdf_new = refresh_padded(tsdf_n_psi, tnp_c)
             if momentum is None:
                 vel_new = state.vel
             mnorm = jnp.sqrt(mx_sq)
@@ -365,8 +380,10 @@ def estimate_psi(
 
         energy = state.energy
         if record_energy:
+            psi_e = unpad_db(psi) if fused_db else psi
+            tnp_e = unpad_db(tsdf_n_psi) if fused_db else tsdf_n_psi
             e = jnp.stack(
-                [data_energy(tsdf_global, tsdf_n_psi), reg_energy_sobolev(psi), mnorm]
+                [data_energy(tsdf_global, tnp_e), reg_energy_sobolev(psi_e), mnorm]
             )
             energy = jax.lax.dynamic_update_slice(
                 energy, e[None], (jnp.minimum(state.iter, energy_cap - 1), 0)
@@ -381,20 +398,24 @@ def estimate_psi(
 
     tsdf_n_psi0 = warp_scalar(tsdf_n, psi)
     vel0 = jnp.zeros_like(psi) if momentum is not None else jnp.float32(0.0)
+    psi_state = pad_for_db(psi) if fused_db else psi
+    tnp_state = pad_for_db(tsdf_n_psi0) if fused_db else tsdf_n_psi0
     init = SolverState(
-        psi, tsdf_n_psi0, jnp.int32(0), jnp.float32(jnp.inf), energy0, vel0
+        psi_state, tnp_state, jnp.int32(0), jnp.float32(jnp.inf), energy0, vel0
     )
     final = jax.lax.while_loop(cond, gd_step, init)
+    psi_final = unpad_db(final.psi) if fused_db else final.psi
+    tnp_final = unpad_db(final.tsdf_n_psi) if fused_db else final.tsdf_n_psi
 
-    psi_inv = inverse(final.psi)
+    psi_inv = inverse(psi_final, init=psi_inv0)
     tsdf_g_inv = warp_scalar(tsdf_global, psi_inv)
     weight_g_inv = warp_floor(weight_global, psi_inv)
-    weight_n_psi = warp_floor(weight_n, final.psi)
+    weight_n_psi = warp_floor(weight_n, psi_final)
 
     return SolveResult(
-        psi=final.psi,
+        psi=psi_final,
         psi_inv=psi_inv,
-        tsdf_n_psi=final.tsdf_n_psi,
+        tsdf_n_psi=tnp_final,
         weight_n_psi=weight_n_psi,
         tsdf_global_psi_inv=tsdf_g_inv,
         weight_global_psi_inv=weight_g_inv,
@@ -443,6 +464,7 @@ def estimate_psi_pyramid(
     w_reg: jnp.ndarray,
     max_iter: jnp.ndarray,
     max_update_norm_thresh: jnp.ndarray,
+    psi_inv0: Optional[jnp.ndarray] = None,
     *,
     levels: int = 2,
     coarse_max_iter: Optional[int] = None,
@@ -512,7 +534,7 @@ def estimate_psi_pyramid(
 
     res = estimate_psi(
         ident_f + disp, tsdf_global, weight_global, tsdf_n, weight_n,
-        taps, alpha, w_reg, max_iter, max_update_norm_thresh,
+        taps, alpha, w_reg, max_iter, max_update_norm_thresh, psi_inv0,
         record_energy=record_energy,
         energy_cap=energy_cap,
         inverse_iters=inverse_iters,
@@ -603,6 +625,16 @@ class Solver:
                 else 0
             )
         self.z_chunks = int(z_chunks)
+        # inverse-field warm start (after fused_pallas may have defaulted
+        # warp_window): previous frame's inverse + fewer fixed-point steps
+        warm = getattr(params, "inverse_warm", None)
+        self.inverse_warm = (
+            self.warp_window is not None if warm is None else bool(warm)
+        )
+        inv_iters = getattr(params, "inverse_iters", None)
+        if inv_iters is None:
+            inv_iters = 12 if self.inverse_warm else 48
+        self.inverse_iters = int(inv_iters)
 
     def estimate_psi(self, phi_global, phi_global_psi_inv, phi_n, phi_n_psi,
                      psi, psi_inv) -> SolveResult:
@@ -638,9 +670,11 @@ class Solver:
         elif self.pyramid_levels > 1:
             res = estimate_psi_pyramid(
                 *common,
+                psi_inv.data if self.inverse_warm else None,
                 levels=self.pyramid_levels,
                 record_energy=record,
                 energy_cap=p.max_iter if record else 0,
+                inverse_iters=self.inverse_iters,
                 warp_window=self.warp_window,
                 momentum=self.momentum,
                 conv_mxu=self.conv_mxu,
@@ -663,8 +697,10 @@ class Solver:
         else:
             res = estimate_psi(
                 *common,
+                psi_inv.data if self.inverse_warm else None,
                 record_energy=record,
                 energy_cap=p.max_iter if record else 0,
+                inverse_iters=self.inverse_iters,
                 warp_window=self.warp_window,
                 use_pallas=self.use_pallas,
                 taps_static=(

@@ -179,3 +179,29 @@ def test_solver_fused_dispatch_flags():
     p4.fused_pallas = True  # no warp_window: production default applied
     s4 = Solver(p4)
     assert s4.warp_window == 2
+
+
+@pytest.mark.parametrize("dims,TY", [((16, 16, 32), 0), ((16, 32, 32), 8)])
+def test_window_warp_pallas_matches_xla(dims, TY):
+    """Pipelined (z, y, channel)-tiled warp kernel == the XLA window
+    samplers, for scalar and C=3 field inputs, trilinear and floor."""
+    from sobfu_tpu.ops.pallas_kernels import window_warp_pallas
+
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.standard_normal(dims), jnp.float32)
+    fld = jnp.asarray(rng.standard_normal((3,) + dims), jnp.float32)
+    psi = fields.identity_field(dims) + jnp.asarray(
+        rng.uniform(-1.8, 1.8, (3,) + dims), jnp.float32
+    )
+    for floor in (False, True):
+        out = window_warp_pallas(vol, psi, K=2, TY=TY, floor=floor,
+                                 interpret=True)
+        ref = (
+            fields.sample_nearest_floor_window
+            if floor
+            else fields.sample_trilinear_window
+        )(vol, psi, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    out3 = window_warp_pallas(fld, psi, K=2, TY=TY, interpret=True)
+    ref3 = fields.sample_trilinear_window(fld, psi, 2)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3), atol=1e-5)

@@ -714,3 +714,42 @@ def test_pyramid_solver_dispatch():
     p2.pyramid_levels = 2
     s2 = solver.Solver(p2)
     assert s2.pyramid_levels == 1
+
+
+def test_inverse_warm_start_matches_cold_48():
+    """Warm-started 12-iteration inverse (previous frame's inverse as init)
+    stays within 0.05 voxel of the reference-parity 48-from-identity
+    inverse across accumulated frames."""
+    dim = 24
+    vs = 1.0 / dim
+    dims = (dim,) * 3
+    from sobfu_tpu.tsdf import init_sphere
+
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.22, 8 * vs, 3 * vs)
+    psi = fields.identity_field(dims)
+    psi_inv_warm = fields.identity_field(dims)
+    for k in range(3):  # accumulate deformation over frames
+        tn, wn = init_sphere(
+            dims, (vs,) * 3, (0.5 - 0.8 * (k + 1) * vs, 0.5, 0.5),
+            0.22, 8 * vs, 3 * vs,
+        )
+        cold = solver.estimate_psi(
+            psi, tg, wg, tn, wn, taps, jnp.float32(0.05), jnp.float32(0.2),
+            jnp.int32(64), jnp.float32(-1.0), warp_window=3, inverse_iters=48,
+        )
+        warm = solver.estimate_psi(
+            psi, tg, wg, tn, wn, taps, jnp.float32(0.05), jnp.float32(0.2),
+            jnp.int32(64), jnp.float32(-1.0), psi_inv_warm,
+            warp_window=3, inverse_iters=12,
+        )
+        err = float(jnp.max(jnp.abs(warm.psi_inv - cold.psi_inv)))
+        assert err <= 0.05, (k, err)
+        # composition check: psi(psi_inv(v)) ~ v on the interior
+        comp = fields.sample_field_trilinear(warp := warm.psi, warm.psi_inv)
+        ident = fields.identity_field(dims)
+        interior = (slice(None),) + (slice(4, -4),) * 3
+        cerr = float(jnp.max(jnp.abs(comp[interior] - ident[interior])))
+        assert cerr <= 0.1, (k, cerr)
+        psi = warm.psi
+        psi_inv_warm = warm.psi_inv
