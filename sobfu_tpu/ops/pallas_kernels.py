@@ -45,6 +45,16 @@ TPU worker; root-caused to unaligned sublane accesses):
     fori_loop over the z offset only (dynamic starts on the MAJOR dim are
     fine) with the y offset statically unrolled;
   * reduction outputs use (8, 128)-shaped blocks, never (1, 128).
+
+Lane-width rules (established by minimal probes on this pool, 2026-08-17):
+below 128 lanes, BOTH manual DMA slicing AND static-start pl.ds ref
+slices (including through .at[] views) fail the Mosaic compiler, while
+full-tile value loads ([...]) and DYNAMIC-start pl.ds getitems on the
+major dim compile fine. Whole-volume grid=() bodies also fail for
+>= 32^3 (fully-unrolled vreg count). Hence: the shared tile body
+(_gd_tile_compute) loads tiles as values and slices statically, keeping
+only the dynamic-z live-volume getitem as a ref access; the sub-128-lane
+entry point is the BlockSpec-stacked fused_gd_iteration_stacked.
 """
 
 from __future__ import annotations
@@ -549,133 +559,164 @@ def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles):
         for c in tile_copies(flat, slot):
             c.wait()
 
-        sp = s_psi.at[slot]
-        st = s_tnp.at[slot]
-        sg = s_tg.at[slot]
-        sl = s_live.at[slot]
-
-        z0 = iz * BZ
-        y0 = iy * TY
-
-        # ---- global-position masks for the boundary-vanishing stencils ----
-        shape_d = (DZ, DY, X)
-        gz = jax.lax.broadcasted_iota(jnp.int32, shape_d, 0) + (z0 - R)
-        gy = jax.lax.broadcasted_iota(jnp.int32, shape_d, 1) + (y0 - R)
-        gx = jax.lax.broadcasted_iota(jnp.int32, shape_d, 2)
-        gz = jnp.clip(gz, 0, Z - 1)
-        gy = jnp.clip(gy, 0, Y - 1)
-        mz = ((gz > 0) & (gz < Z - 1)).astype(jnp.float32)
-        my = ((gy > 0) & (gy < Y - 1)).astype(jnp.float32)
-        mx = ((gx > 0) & (gx < X - 1)).astype(jnp.float32)
-
-        o = _H - R  # scratch offset of the first dU row
-
-        def grad_of(c):
-            t_c = st[pl.ds(o, DZ), pl.ds(o, DY), :]
-            if c == 0:
-                return (
-                    (_shift_x_edge(t_c, 1, X) - _shift_x_edge(t_c, -1, X))
-                    * 0.5
-                    * mx
-                )
-            if c == 1:
-                return (
-                    st[pl.ds(o, DZ), pl.ds(o + 1, DY), :]
-                    - st[pl.ds(o, DZ), pl.ds(o - 1, DY), :]
-                ) * 0.5 * my
-            return (
-                st[pl.ds(o + 1, DZ), pl.ds(o, DY), :]
-                - st[pl.ds(o - 1, DZ), pl.ds(o, DY), :]
-            ) * 0.5 * mz
-
-        update_sq = None
-        for c in range(3):
-            diff = (
-                st[pl.ds(o, DZ), pl.ds(o, DY), :]
-                - sg[pl.ds(o, DZ), pl.ds(o, DY), :]
-            )
-            p_c = sp[c, pl.ds(o, DZ), pl.ds(o, DY), :]
-            lap_x = (
-                _shift_x_edge(p_c, 1, X) + _shift_x_edge(p_c, -1, X) - 2.0 * p_c
-            ) * mx
-            lap_y = (
-                sp[c, pl.ds(o, DZ), pl.ds(o + 1, DY), :]
-                + sp[c, pl.ds(o, DZ), pl.ds(o - 1, DY), :]
-                - 2.0 * p_c
-            ) * my
-            lap_z = (
-                sp[c, pl.ds(o + 1, DZ), pl.ds(o, DY), :]
-                + sp[c, pl.ds(o - 1, DZ), pl.ds(o, DY), :]
-                - 2.0 * p_c
-            ) * mz
-            neg_lap = -(lap_x + lap_y + lap_z)
-
-            dU = diff * grad_of(c) + w_reg * neg_lap  # [DZ, DY, X]
-
-            # ---- Sobolev smoothing: sum of three 1-D convolutions ----
-            # taps flipped (n-1-k): true convolution, as in fused_gd_step
-            dU_ctr = dU[R:R + BZ, R:R + TY, :]
-            acc = jnp.zeros((BZ, TY, X), jnp.float32)
-            for k in range(n_taps):
-                acc = acc + taps[n_taps - 1 - k] * _shift_x_edge(
-                    dU_ctr, k - R, X
-                )
-            for k in range(n_taps):
-                acc = acc + taps[n_taps - 1 - k] * dU[R:R + BZ, k:k + TY, :]
-            for k in range(n_taps):
-                acc = acc + taps[n_taps - 1 - k] * dU[k:k + BZ, R:R + TY, :]
-
-            if has_vel:
-                v_new = mu * s_vel[slot, c] + acc
-                vel_out[c] = v_new
-                upd = alpha * v_new
-            else:
-                upd = alpha * acc
-            psi_out[c] = sp[c, pl.ds(_H, BZ), pl.ds(_H, TY), :] - upd
-            update_sq = upd * upd if update_sq is None else update_sq + upd * upd
-
-        mx_out[:] = jnp.full((1, 1, 8, 128), jnp.max(update_sq), jnp.float32)
-
-        # ---- bounded-window trilinear warp of the live tsdf at psi' ----
-        shape_o = (BZ, TY, X)
-        vx = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2).astype(jnp.float32)
-        vy = (
-            jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) + y0
-        ).astype(jnp.float32)
-        vz = (
-            jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0
-        ).astype(jnp.float32)
-        hi = K - 1e-4  # open window: corner offsets span [-K, K]
-        dx = jnp.clip(jnp.clip(psi_out[0], 0.0, X - 1) - vx, -K, hi)
-        dy = jnp.clip(jnp.clip(psi_out[1], 0.0, Y - 1) - vy, -K, hi)
-        dz = jnp.clip(jnp.clip(psi_out[2], 0.0, Z - 1) - vz, -K, hi)
-
-        # per-axis weights hoisted out of the triple loop (cf. the warp-only
-        # kernel below): (2K+1)^2 rolls + (2K+1)^3 static-slice FMAs
-        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - ox)) for ox in range(-K, K + 1)]
-        wys = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy)) for oy in range(-K, K + 1)]
-
-        def warp_body(i, acc):
-            # dynamic z start on the MAJOR dim only (Mosaic-safe); y offsets
-            # statically unrolled; x shifts are static lane rolls
-            oz = i - K
-            lz = sl[pl.ds(_H + oz, BZ), :, :]
-            lxz = [_shift_x_edge(lz, ox, X) for ox in range(-K, K + 1)]
-            acc_y = jnp.zeros(shape_o, jnp.float32)
-            for oy in range(-K, K + 1):
-                acc_x = jnp.zeros(shape_o, jnp.float32)
-                for ox in range(-K, K + 1):
-                    lzy = lxz[ox + K][:, _H + oy:_H + oy + TY, :]
-                    acc_x = acc_x + wxs[ox + K] * lzy
-                acc_y = acc_y + wys[oy + K] * acc_x
-            wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32)))
-            return acc + wz * acc_y
-
-        tnp_out[:] = jax.lax.fori_loop(
-            0, 2 * K + 1, warp_body, jnp.zeros(shape_o, jnp.float32)
+        _gd_tile_compute(
+            s_psi.at[slot], s_tnp.at[slot], s_tg.at[slot],
+            lambda oz: s_live[slot, pl.ds(_H + oz, BZ), :, :],
+            (lambda c: s_vel[slot, c]) if has_vel else None,
+            psi_out, tnp_out, vel_out if has_vel else None, mx_out,
+            iz, iy, alpha, w_reg,
+            BZ=BZ, TY=TY, Z=Z, Y=Y, X=X, K=K, taps=taps, n_taps=n_taps, mu=mu,
         )
 
     return kernel
+
+
+def _gd_tile_compute(
+    sp_ref, st_ref, sg_ref, live_slice, vel_at, psi_out, tnp_out, vel_out,
+    mx_out, iz, iy, alpha, w_reg, *, BZ, TY, Z, Y, X, K, taps, n_taps, mu
+):
+    """Shared per-tile GD-iteration compute (stencils + potential gradient
+    + Sobolev convolutions + update + windowed warp + tile max norm).
+
+    sp/st/sg are _H-halo tile refs/views of psi, tnp, tg; live_slice(oz)
+    returns the live tile's BZ z-rows at traced offset oz (a DIRECT ref
+    getitem with a dynamic pl.ds start — the caller must not route it
+    through an .at[] view); vel_at maps channel -> velocity tile value
+    (or None for plain GD). Used by both the manual-DMA double-buffered
+    kernel and the BlockSpec-stacked small-grid kernel.
+
+    Tiles are loaded as full VALUES and sliced statically: Mosaic fails to
+    compile static-start pl.ds ref slices through .at[] views when the
+    lane extent is below 128 — full-tile loads + value slicing lower
+    correctly at every lane width (and identically at 128).
+    """
+    R = n_taps // 2
+    DZ = BZ + 2 * R
+    DY = TY + 2 * R
+    has_vel = vel_at is not None
+    z0 = iz * BZ
+    y0 = iy * TY
+
+    sp = sp_ref[...]
+    st = st_ref[...]
+    sg = sg_ref[...]
+
+    # ---- global-position masks for the boundary-vanishing stencils ----
+    shape_d = (DZ, DY, X)
+    gz = jax.lax.broadcasted_iota(jnp.int32, shape_d, 0) + (z0 - R)
+    gy = jax.lax.broadcasted_iota(jnp.int32, shape_d, 1) + (y0 - R)
+    gx = jax.lax.broadcasted_iota(jnp.int32, shape_d, 2)
+    gz = jnp.clip(gz, 0, Z - 1)
+    gy = jnp.clip(gy, 0, Y - 1)
+    mz = ((gz > 0) & (gz < Z - 1)).astype(jnp.float32)
+    my = ((gy > 0) & (gy < Y - 1)).astype(jnp.float32)
+    mx = ((gx > 0) & (gx < X - 1)).astype(jnp.float32)
+
+    o = _H - R  # tile offset of the first dU row
+
+    def grad_of(c):
+        t_c = st[o:o + DZ, o:o + DY, :]
+        if c == 0:
+            return (
+                (_shift_x_edge(t_c, 1, X) - _shift_x_edge(t_c, -1, X))
+                * 0.5
+                * mx
+            )
+        if c == 1:
+            return (
+                st[o:o + DZ, o + 1:o + 1 + DY, :]
+                - st[o:o + DZ, o - 1:o - 1 + DY, :]
+            ) * 0.5 * my
+        return (
+            st[o + 1:o + 1 + DZ, o:o + DY, :]
+            - st[o - 1:o - 1 + DZ, o:o + DY, :]
+        ) * 0.5 * mz
+
+    update_sq = None
+    for c in range(3):
+        diff = st[o:o + DZ, o:o + DY, :] - sg[o:o + DZ, o:o + DY, :]
+        p_c = sp[c, o:o + DZ, o:o + DY, :]
+        lap_x = (
+            _shift_x_edge(p_c, 1, X) + _shift_x_edge(p_c, -1, X) - 2.0 * p_c
+        ) * mx
+        lap_y = (
+            sp[c, o:o + DZ, o + 1:o + 1 + DY, :]
+            + sp[c, o:o + DZ, o - 1:o - 1 + DY, :]
+            - 2.0 * p_c
+        ) * my
+        lap_z = (
+            sp[c, o + 1:o + 1 + DZ, o:o + DY, :]
+            + sp[c, o - 1:o - 1 + DZ, o:o + DY, :]
+            - 2.0 * p_c
+        ) * mz
+        neg_lap = -(lap_x + lap_y + lap_z)
+
+        dU = diff * grad_of(c) + w_reg * neg_lap  # [DZ, DY, X]
+
+        # ---- Sobolev smoothing: sum of three 1-D convolutions ----
+        # taps flipped (n-1-k): true convolution, as in fused_gd_step
+        dU_ctr = dU[R:R + BZ, R:R + TY, :]
+        acc = jnp.zeros((BZ, TY, X), jnp.float32)
+        for k in range(n_taps):
+            acc = acc + taps[n_taps - 1 - k] * _shift_x_edge(
+                dU_ctr, k - R, X
+            )
+        for k in range(n_taps):
+            acc = acc + taps[n_taps - 1 - k] * dU[R:R + BZ, k:k + TY, :]
+        for k in range(n_taps):
+            acc = acc + taps[n_taps - 1 - k] * dU[k:k + BZ, R:R + TY, :]
+
+        if has_vel:
+            v_new = mu * vel_at(c) + acc
+            vel_out[c] = v_new
+            upd = alpha * v_new
+        else:
+            upd = alpha * acc
+        psi_out[c] = sp[c, _H:_H + BZ, _H:_H + TY, :] - upd
+        update_sq = upd * upd if update_sq is None else update_sq + upd * upd
+
+    mx_out[:] = jnp.full((1, 1, 8, 128), jnp.max(update_sq), jnp.float32)
+
+    # ---- bounded-window trilinear warp of the live tsdf at psi' ----
+    shape_o = (BZ, TY, X)
+    vx = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2).astype(jnp.float32)
+    vy = (
+        jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) + y0
+    ).astype(jnp.float32)
+    vz = (
+        jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0
+    ).astype(jnp.float32)
+    hi = K - 1e-4  # open window: corner offsets span [-K, K]
+    dx = jnp.clip(jnp.clip(psi_out[0], 0.0, X - 1) - vx, -K, hi)
+    dy = jnp.clip(jnp.clip(psi_out[1], 0.0, Y - 1) - vy, -K, hi)
+    dz = jnp.clip(jnp.clip(psi_out[2], 0.0, Z - 1) - vz, -K, hi)
+
+    # per-axis weights hoisted out of the triple loop (cf. the warp-only
+    # kernel): (2K+1)^2 rolls + (2K+1)^3 static-slice FMAs
+    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - ox)) for ox in range(-K, K + 1)]
+    wys = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy)) for oy in range(-K, K + 1)]
+
+    def warp_body(i, acc):
+        # DYNAMIC z start on the MAJOR dim of the live ref (Mosaic-safe at
+        # every lane width — unlike static-start pl.ds, which fails to
+        # compile below 128 lanes); y offsets statically unrolled on the
+        # loaded value; x shifts are static lane rolls
+        oz = i - K
+        lz = live_slice(oz)
+        lxz = [_shift_x_edge(lz, ox, X) for ox in range(-K, K + 1)]
+        acc_y = jnp.zeros(shape_o, jnp.float32)
+        for oy in range(-K, K + 1):
+            acc_x = jnp.zeros(shape_o, jnp.float32)
+            for ox in range(-K, K + 1):
+                lzy = lxz[ox + K][:, _H + oy:_H + oy + TY, :]
+                acc_x = acc_x + wxs[ox + K] * lzy
+            acc_y = acc_y + wys[oy + K] * acc_x
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32)))
+        return acc + wz * acc_y
+
+    tnp_out[:] = jax.lax.fori_loop(
+        0, 2 * K + 1, warp_body, jnp.zeros(shape_o, jnp.float32)
+    )
 
 
 def _db_tiles(Z, Y, X):
@@ -979,3 +1020,151 @@ def estimate_inverse_window_pallas(
         return ident - window_warp_pallas(disp, psi_inv, K=K, BZ=BZ)
 
     return jax.lax.fori_loop(0, iters, body, ident if init is None else init)
+
+
+# ---------------------------------------------------------------------------
+# BlockSpec-stacked fused iteration for small grids (lane extent < 128)
+# ---------------------------------------------------------------------------
+#
+# The manual-DMA double-buffered kernel fails Mosaic compilation when the
+# lane extent is below 128 (minimal repro: a bare double-buffered copy with
+# X=64 slices dies in the compile helper, while every individual construct
+# and the BlockSpec-pipelined warp kernel compile fine at 64 lanes). A
+# whole-volume grid=() variant also fails for >= 32^3 (the fully-unrolled
+# body's vreg count blows up the Mosaic compiler). This variant therefore
+# keeps the proven tile geometry and compute body but feeds the halo tiles
+# through the standard BlockSpec pipeline: inputs are pre-stacked into
+# overlapping (z, y)-tiles (as in window_warp_pallas) and the pipeline
+# double-buffers them automatically. The per-iteration stack rebuild for
+# psi/tnp is ~3 volume copies — trivial at the <= 64^3 sizes this serves.
+
+
+def _stack_db(vol: jnp.ndarray, BZ: int = 8, TY: int = 0) -> jnp.ndarray:
+    """Edge-pad by the fixed halo and stack overlapping (z, y)-tiles for
+    :func:`fused_gd_iteration_stacked` (channel dim added for scalars)."""
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[None]
+    C, Z, Y, X = vol.shape
+    if TY == 0:
+        TY = min(32, Y)
+    vol_pad = jnp.pad(
+        vol, [(0, 0), (_H, _H), (_H, _H), (0, 0)], mode="edge"
+    )
+    return _stack_overlapping_zy(vol_pad, Z // BZ, Y // TY, BZ, TY, _H)
+
+
+def fused_gd_iteration_stacked(
+    psi: jnp.ndarray,  # f32[3, Z, Y, X]
+    tnp: jnp.ndarray,  # f32[Z, Y, X]
+    vel,  # f32[3, Z, Y, X] or None
+    tg_t: jnp.ndarray,  # stacked tiles of tg (loop-invariant; _stack_db)
+    live_t: jnp.ndarray,  # stacked tiles of live (loop-invariant)
+    alpha: jnp.ndarray,
+    w_reg: jnp.ndarray,
+    taps_static: Tuple[float, ...],
+    *,
+    K: int = 2,
+    BZ: int = 8,
+    TY: int = 0,
+    momentum=None,
+    interpret: bool = False,
+):
+    """One fused solver iteration for small grids via BlockSpec stacking.
+
+    Same compute body (and numbers) as :func:`fused_gd_iteration_db`;
+    returns (psi', tnp', vel', max||update||^2).
+    """
+    Z, Y, X = tnp.shape
+    if TY == 0:
+        TY = min(32, Y)
+    n_taps = len(taps_static)
+    assert n_taps % 2 == 1 and n_taps <= 2 * _H - 1
+    assert 1 <= K <= _H
+    assert Z % BZ == 0 and Y % TY == 0 and TY % 8 == 0, (Z, BZ, Y, TY)
+    nz, ny = Z // BZ, Y // TY
+    mu = float(momentum) if momentum is not None else None
+    has_vel = mu is not None
+
+    psi_t = _stack_db(psi, BZ, TY)
+    tnp_t = _stack_db(tnp, BZ, TY)
+
+    def kernel(*refs):
+        if has_vel:
+            (scal_ref, psi_ref, tnp_ref, tg_ref, live_ref, vel_ref,
+             psi_out, tnp_out, vel_out, mx_out) = refs
+        else:
+            (scal_ref, psi_ref, tnp_ref, tg_ref, live_ref,
+             psi_out, tnp_out, mx_out) = refs
+        _gd_tile_compute(
+            psi_ref.at[0, 0], tnp_ref.at[0, 0, 0], tg_ref.at[0, 0, 0],
+            lambda oz: live_ref[0, 0, 0, pl.ds(_H + oz, BZ), :, :],
+            (lambda c: vel_ref[c]) if has_vel else None,
+            psi_out, tnp_out, vel_out if has_vel else None, mx_out,
+            pl.program_id(0), pl.program_id(1), scal_ref[0], scal_ref[1],
+            BZ=BZ, TY=TY, Z=Z, Y=Y, X=X, K=K, taps=taps_static,
+            n_taps=n_taps, mu=mu,
+        )
+
+    TH = TY + 2 * _H
+    BH = BZ + 2 * _H
+
+    def tile6(c_extent):
+        return pl.BlockSpec(
+            (1, 1, c_extent, BH, TH, X),
+            lambda i, j: (i, j, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        tile6(3),
+        tile6(1),
+        tile6(1),
+        tile6(1),
+    ]
+    scal = jnp.stack([alpha.astype(jnp.float32), w_reg.astype(jnp.float32)])
+    args = [scal, psi_t, tnp_t, tg_t, live_t]
+    out_specs = [
+        pl.BlockSpec(
+            (3, BZ, TY, X), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (BZ, TY, X), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
+        jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+    ]
+    if has_vel:
+        in_specs.append(
+            pl.BlockSpec(
+                (3, BZ, TY, X), lambda i, j: (0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(vel)
+        out_specs.append(out_specs[0])
+        out_shapes.append(out_shapes[0])
+    out_specs.append(
+        pl.BlockSpec(
+            (1, 1, 8, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        )
+    )
+    out_shapes.append(jax.ShapeDtypeStruct((nz, ny, 8, 128), jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nz, ny),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(*args)
+    if has_vel:
+        psi_new, tnp_new, vel_new, mx_tiles = outs
+    else:
+        psi_new, tnp_new, mx_tiles = outs
+        vel_new = None
+    return psi_new, tnp_new, vel_new, jnp.max(mx_tiles)

@@ -205,3 +205,48 @@ def test_window_warp_pallas_matches_xla(dims, TY):
     out3 = window_warp_pallas(fld, psi, K=2, TY=TY, interpret=True)
     ref3 = fields.sample_trilinear_window(fld, psi, 2)
     np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3), atol=1e-5)
+
+
+@pytest.mark.parametrize("momentum", [None, 0.9])
+def test_fused_stacked_iteration_matches_xla(momentum):
+    """BlockSpec-stacked small-grid fused iteration == the XLA window step
+    (the lane-width<128 fallback built on Mosaic-safe patterns)."""
+    from sobfu_tpu.ops.pallas_kernels import (
+        _stack_db,
+        fused_gd_iteration_stacked,
+    )
+
+    dims = (16, 16, 32)
+    tg, live, psi, tnp = _setup(dims, seed=11)
+    tnp = fields.sample_trilinear_window(live, psi, 2)
+    taps = solver.sobolev_filter_1d(7, 0.1)
+    alpha, w_reg = jnp.float32(0.05), jnp.float32(0.2)
+    rng = np.random.default_rng(12)
+    vel = (
+        jnp.asarray(rng.standard_normal((3,) + dims), jnp.float32)
+        if momentum is not None
+        else None
+    )
+    p_k, t_k, v_k, mx_k = fused_gd_iteration_stacked(
+        psi, tnp, vel, _stack_db(tg, TY=16), _stack_db(live, TY=16),
+        alpha, w_reg, tuple(float(t) for t in taps),
+        K=2, TY=16, momentum=momentum, interpret=True,
+    )
+    grad = fields.tsdf_gradient(tnp)
+    lap = fields.neg_laplacian(psi)
+    dU_S = solver.sobolev_smooth(
+        (tnp - tg)[None] * grad + w_reg * lap, jnp.asarray(taps)
+    )
+    if momentum is not None:
+        v_r = momentum * vel + dU_S
+        upd = alpha * v_r
+        np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_r), atol=1e-5)
+    else:
+        upd = alpha * dU_S
+    p_r = psi - upd
+    t_r = fields.sample_trilinear_window(live, p_r, 2)
+    np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_r), atol=1e-5)
+    np.testing.assert_allclose(
+        float(mx_k), float(jnp.max(jnp.sum(upd * upd, axis=0))), rtol=1e-4
+    )
