@@ -90,7 +90,7 @@ def solve_time_per_iter(
     run(n_lo)  # compile + warm
     run(n_hi)
     pers = []
-    for _ in range(5):
+    for _ in range(8):
         t0 = time.perf_counter()
         run(n_lo)
         t_lo = time.perf_counter() - t0
@@ -98,8 +98,8 @@ def solve_time_per_iter(
         run(n_hi)
         t_hi = time.perf_counter() - t0
         pers.append((t_hi - t_lo) / (n_hi - n_lo))
-    # the tunneled pool chip shows sporadic multi-second contention stalls;
-    # the minimum pair is the uncontended per-iteration cost
+    # the tunneled pool chip shows ±3x contention swings and sporadic
+    # multi-second stalls; the minimum pair is the uncontended cost
     return float(min(pers))
 
 

@@ -484,7 +484,11 @@ def window_warp_pallas(
 
 
 def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles):
-    """Fused GD-iteration kernel body with double-buffered input DMA."""
+    """Fused GD-iteration kernel body with double-buffered input DMA.
+
+    Z is the GLOBAL z extent (== the local block depth except inside a
+    z-sharded solve); the SMEM zb_ref holds the global z of local row 0.
+    """
     R = n_taps // 2
     DZ = BZ + 2 * R  # dU z-rows (output rows + conv halo)
     DY = TY + 2 * R
@@ -492,11 +496,11 @@ def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles):
 
     def kernel(*refs):
         if has_vel:
-            (scal_ref, psi_ref, tnp_ref, tg_ref, live_ref, vel_ref,
+            (scal_ref, zb_ref, psi_ref, tnp_ref, tg_ref, live_ref, vel_ref,
              psi_out, tnp_out, vel_out, mx_out,
              s_psi, s_tnp, s_tg, s_live, s_vel, sems) = refs
         else:
-            (scal_ref, psi_ref, tnp_ref, tg_ref, live_ref,
+            (scal_ref, zb_ref, psi_ref, tnp_ref, tg_ref, live_ref,
              psi_out, tnp_out, mx_out,
              s_psi, s_tnp, s_tg, s_live, sems) = refs
 
@@ -566,6 +570,7 @@ def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles):
             psi_out, tnp_out, vel_out if has_vel else None, mx_out,
             iz, iy, alpha, w_reg,
             BZ=BZ, TY=TY, Z=Z, Y=Y, X=X, K=K, taps=taps, n_taps=n_taps, mu=mu,
+            z_base=zb_ref[0],
         )
 
     return kernel
@@ -573,7 +578,8 @@ def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles):
 
 def _gd_tile_compute(
     sp_ref, st_ref, sg_ref, live_slice, vel_at, psi_out, tnp_out, vel_out,
-    mx_out, iz, iy, alpha, w_reg, *, BZ, TY, Z, Y, X, K, taps, n_taps, mu
+    mx_out, iz, iy, alpha, w_reg, *, BZ, TY, Z, Y, X, K, taps, n_taps, mu,
+    z_base=0
 ):
     """Shared per-tile GD-iteration compute (stencils + potential gradient
     + Sobolev convolutions + update + windowed warp + tile max norm).
@@ -594,7 +600,9 @@ def _gd_tile_compute(
     DZ = BZ + 2 * R
     DY = TY + 2 * R
     has_vel = vel_at is not None
-    z0 = iz * BZ
+    # z_base: GLOBAL z of local row 0 (traced; nonzero inside a z-sharded
+    # solve, where Z is the global extent and psi holds global coords)
+    z0 = iz * BZ + z_base
     y0 = iy * TY
 
     sp = sp_ref[...]
@@ -780,9 +788,18 @@ def fused_gd_iteration_db_padded(
     TY: int = 0,
     momentum=None,
     interpret: bool = False,
+    z_base=None,
+    z_global: int = 0,
 ):
     """Core of :func:`fused_gd_iteration_db` taking PADDED psi/tnp state
-    (see :func:`refresh_padded`). Returns center-sized outputs."""
+    (see :func:`refresh_padded`). Returns center-sized outputs.
+
+    z_base / z_global: for running inside a z-sharded solve — z_base is the
+    (traced) global z of the local block's first row and z_global the
+    global z extent; the local block's z-halo rows must then hold
+    NEIGHBOUR data (halo exchange) instead of edge replicas. Defaults:
+    unsharded (z_base 0, z_global = local depth).
+    """
     Z, Y, X = (
         tnp_pad.shape[0] - 2 * _H,
         tnp_pad.shape[1] - 2 * _H,
@@ -803,12 +820,13 @@ def fused_gd_iteration_db_padded(
     n_tiles = nz * ny
     mu = float(momentum) if momentum is not None else None
     kernel = _make_db_kernel(
-        BZ, TY, Z, Y, X, K, taps_static, n_taps, mu, ny, n_tiles
+        BZ, TY, z_global or Z, Y, X, K, taps_static, n_taps, mu, ny, n_tiles
     )
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
-        pl.BlockSpec(memory_space=pl.ANY)
-    ] * (5 if mu is not None else 4)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ] + [pl.BlockSpec(memory_space=pl.ANY)] * (5 if mu is not None else 4)
     out_specs = [
         pl.BlockSpec(
             (3, BZ, TY, X), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM
@@ -844,7 +862,10 @@ def fused_gd_iteration_db_padded(
     scratch.append(pltpu.SemaphoreType.DMA((2, n_dma)))
 
     scal = jnp.stack([alpha.astype(jnp.float32), w_reg.astype(jnp.float32)])
-    args = [scal, psi_pad, tnp_pad, tg_pad, live_pad]
+    zb = jnp.asarray(
+        [0 if z_base is None else z_base], jnp.int32
+    ).reshape(1)
+    args = [scal, zb, psi_pad, tnp_pad, tg_pad, live_pad]
     if mu is not None:
         args.append(vel)
 

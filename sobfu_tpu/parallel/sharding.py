@@ -205,15 +205,52 @@ def _gd_step_local(
     return psi_new, tnp_new, mnorm
 
 
+def _gd_step_local_fused(
+    psi_l, tnp_l, tg_pad, live_pad, taps_static, alpha, w_reg, z0, axis_name,
+    K, z_global, interpret,
+):
+    """One fused-kernel gradient-descent step on a local z-block.
+
+    The per-shard program is the single-chip fused Pallas iteration
+    (:func:`sobfu_tpu.ops.pallas_kernels.fused_gd_iteration_db_padded`)
+    with its z-halo rows fed by the ICI halo exchange instead of edge
+    replication — the kernel's global-position masks/coordinates take the
+    shard offset (z_base) and global depth (z_global). Exactly the same
+    numbers as :func:`_gd_step_local` in windowed mode.
+    """
+    from sobfu_tpu.ops.pallas_kernels import fused_gd_iteration_db_padded
+
+    H = 4
+    psi_p = _halo_exchange_z(psi_l, H, axis_name)
+    tnp_p = _halo_exchange_z(tnp_l, H, axis_name)
+    psi_pad = jnp.pad(psi_p, [(0, 0), (0, 0), (H, H), (0, 0)], mode="edge")
+    tnp_pad = jnp.pad(tnp_p, [(0, 0), (H, H), (0, 0)], mode="edge")
+    psi_c, tnp_c, _, mx_sq = fused_gd_iteration_db_padded(
+        psi_pad, tnp_pad, None, tg_pad, live_pad, alpha, w_reg, taps_static,
+        K=K, momentum=None, interpret=interpret,
+        z_base=z0, z_global=z_global,
+    )
+    mnorm = jax.lax.pmax(jnp.sqrt(mx_sq), axis_name)
+    return psi_c, tnp_c, mnorm
+
+
 def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
-                              warp_window=None):
+                              warp_window=None, fused: bool = False,
+                              taps_static=None):
     """Build a jit-compiled sharded solve for the given mesh.
 
     Returns fn(psi, tsdf_global, weight_global, tsdf_n, weight_n, taps,
     alpha, w_reg, max_iter, thresh) -> (psi, psi_inv, tnp, wnp, tgi, wgi,
     iters, max_norm). Arrays are full-sized; jit lays them out sharded.
+
+    fused: run each per-shard iteration as the fused Pallas kernel
+    (requires warp_window and taps_static; lane extent >= 128 on real
+    TPUs — interpret mode is used automatically on CPU meshes).
     """
     axis = "z"
+    if fused:
+        assert warp_window is not None and taps_static is not None
+        interp = jax.devices()[0].platform == "cpu"
 
     def local_solve(psi_l, tg_l, wg_l, tn_l, wn_l, taps, alpha, w_reg,
                     max_iter, thresh):
@@ -232,16 +269,36 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
             tn_src = _halo_exchange_z(tn_l, K, axis)
             tnp0 = _sample_window_local(tn_src, psi_l, z0, K)
 
+        if fused:
+            # loop-invariant fused-kernel inputs: H-halo exchange + y pad,
+            # built once per solve
+            H = 4
+            z_global = n_local * jax.lax.axis_size(axis)
+            tg_pad_f = jnp.pad(
+                _halo_exchange_z(tg_l, H, axis),
+                [(0, 0), (H, H), (0, 0)], mode="edge",
+            )
+            live_pad_f = jnp.pad(
+                _halo_exchange_z(tn_l, H, axis),
+                [(0, 0), (H, H), (0, 0)], mode="edge",
+            )
+
         def cond(state):
             _, _, it, mn = state
             return (it < max_iter) & (mn > thresh)
 
         def body(state):
             psi_l, tnp_l, it, _ = state
-            psi_l, tnp_l, mnorm = _gd_step_local(
-                psi_l, tnp_l, tg_l, tn_src, taps, alpha, w_reg, z0, axis,
-                warp_window,
-            )
+            if fused:
+                psi_l, tnp_l, mnorm = _gd_step_local_fused(
+                    psi_l, tnp_l, tg_pad_f, live_pad_f, taps_static,
+                    alpha, w_reg, z0, axis, K, z_global, interp,
+                )
+            else:
+                psi_l, tnp_l, mnorm = _gd_step_local(
+                    psi_l, tnp_l, tg_l, tn_src, taps, alpha, w_reg, z0, axis,
+                    warp_window,
+                )
             return psi_l, tnp_l, it + 1, mnorm
 
         psi_l, tnp_l, iters, mnorm = jax.lax.while_loop(

@@ -185,3 +185,37 @@ def test_frame_step_with_window_warp():
         jnp.int32(2), jnp.float32(-1.0),
     )
     assert bool(jnp.all(jnp.isfinite(out[2])))
+
+
+def test_sharded_fused_kernel_matches_window_solve():
+    """Per-shard fused Pallas iterations (ICI-halo-fed, interpret mode on
+    the CPU mesh) == the sharded XLA window solve == the single-device
+    window solve."""
+    tg, wg, tn, wn = _scene(1.5 * SIZE / DIM)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    psi = fields.identity_field((DIM, DIM, DIM))
+    args = (jnp.float32(0.1), jnp.float32(0.4), jnp.int32(12), jnp.float32(-1.0))
+
+    ref = solver.estimate_psi(
+        psi, tg, wg, tn, wn, taps, *args, inverse_iters=4, warp_window=2
+    )
+
+    mesh = make_mesh(n_z=4)  # local depth 8 = one BZ tile per shard
+    fn = make_sharded_estimate_psi(
+        mesh, inverse_iters=4, warp_window=2, fused=True,
+        taps_static=taps_static,
+    )
+    psi_s, psi_inv_s, tnp_s, _, _, _, iters_s, mn_s = fn(
+        psi, tg, wg, tn, wn, taps, *args
+    )
+    assert int(iters_s) == 12
+    np.testing.assert_allclose(
+        np.asarray(psi_s), np.asarray(ref.psi), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tnp_s), np.asarray(ref.tsdf_n_psi), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(mn_s), float(ref.max_norm), rtol=1e-4
+    )
