@@ -54,16 +54,24 @@ def make_params(dim, size, iters, alpha=0.1, w_reg=0.4):
     return p
 
 
+FUSED = False  # set by main --fused: run the fused Pallas TPU hot loop
+
+
 def solve(p, phi_global, phi_n, warp_window=None, momentum=0.9):
     """Run the solver in the production configuration (heavy-ball momentum;
     the tightened budgets certify what production actually ships)."""
     taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
     psi = fields.identity_field(phi_global.dims_zyx)
+    fused = FUSED and warp_window is not None
     return solver.estimate_psi(
         psi, phi_global.tsdf, phi_global.weight, phi_n.tsdf, phi_n.weight,
         taps, jnp.float32(p.alpha), jnp.float32(p.w_reg),
         jnp.int32(p.max_iter), jnp.float32(p.max_update_norm),
         inverse_iters=48, warp_window=warp_window, momentum=momentum,
+        fused_db=fused,
+        taps_static=(
+            tuple(float(t) for t in np.asarray(taps)) if fused else None
+        ),
     )
 
 
@@ -294,7 +302,12 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=512)
     ap.add_argument("--warp-window", type=int, default=None)
     ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--fused", action="store_true",
+                    help="run the fused Pallas hot loop (TPU, dims X%%128==0)")
     args = ap.parse_args(argv)
+    if args.fused:
+        global FUSED
+        FUSED = True
 
     report = {
         "results": [
