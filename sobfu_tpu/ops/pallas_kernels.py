@@ -424,7 +424,8 @@ def window_warp_pallas(
         vol = vol[None]
     C, Z, Y, X = vol.shape
     if TY == 0:
-        TY = Y if Y <= 128 else 64
+        # scoped-vmem-safe default: tile footprint scales with TY*X
+        TY = Y if Y <= 128 else (64 if X <= 256 else 32)
         while Y % TY:
             TY //= 2
     assert Z % BZ == 0 and Y % TY == 0, (Z, BZ, Y, TY)
