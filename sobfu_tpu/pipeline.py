@@ -38,6 +38,10 @@ from sobfu_tpu.tsdf import TsdfVolume
         "inverse_iters",
         "momentum",
         "n_chunks",
+        "conv_mxu",
+        "fused_db",
+        "taps_static",
+        "pyramid_levels",
     ),
 )
 def fused_frame_step(
@@ -56,6 +60,7 @@ def fused_frame_step(
     w_reg,
     max_iter,
     thresh,
+    psi_inv0=None,
     *,
     dims_zyx,
     bilateral_kernel_size=7,
@@ -66,6 +71,10 @@ def fused_frame_step(
     inverse_iters=48,
     momentum=None,
     n_chunks=0,
+    conv_mxu=False,
+    fused_db=False,
+    taps_static=None,
+    pyramid_levels=1,
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -92,17 +101,27 @@ def fused_frame_step(
         trunc_dist, eta, dims_zyx,
     )
 
-    if n_chunks:
+    if pyramid_levels > 1:
+        res = solver_mod.estimate_psi_pyramid(
+            psi, tsdf_g, weight_g, tn, wn, taps, alpha, w_reg, max_iter,
+            thresh, psi_inv0, levels=pyramid_levels,
+            inverse_iters=inverse_iters, warp_window=warp_window,
+            momentum=momentum, conv_mxu=conv_mxu, fused_db=fused_db,
+            taps_static=taps_static,
+        )
+    elif n_chunks:
         res = solver_mod.estimate_psi_chunked(
             psi, tsdf_g, weight_g, tn, wn, taps, alpha, w_reg, max_iter,
             thresh, n_chunks=n_chunks, warp_window=warp_window or 2,
-            inverse_iters=inverse_iters,
+            inverse_iters=inverse_iters, momentum=momentum,
+            conv_mxu=conv_mxu,
         )
     else:
         res = solver_mod.estimate_psi(
             psi, tsdf_g, weight_g, tn, wn, taps, alpha, w_reg, max_iter,
-            thresh, warp_window=warp_window, inverse_iters=inverse_iters,
-            momentum=momentum,
+            thresh, psi_inv0, warp_window=warp_window,
+            inverse_iters=inverse_iters, momentum=momentum,
+            conv_mxu=conv_mxu, fused_db=fused_db, taps_static=taps_static,
         )
 
     tg2, wg2 = fuse_volumes(
@@ -205,6 +224,7 @@ class SobFusion:
                 jnp.float32(p.w_reg),
                 jnp.int32(p.max_iter),
                 jnp.float32(p.max_update_norm),
+                self.psi_inv.data if self.solver.inverse_warm else None,
                 dims_zyx=self.phi_global.dims_zyx,
                 bilateral_kernel_size=p.bilateral_kernel_size,
                 bilateral_sigma_spatial=p.bilateral_sigma_spatial,
@@ -213,6 +233,15 @@ class SobFusion:
                 warp_window=self.solver.warp_window,
                 momentum=self.solver.momentum,
                 n_chunks=self.solver.z_chunks,
+                inverse_iters=self.solver.inverse_iters,
+                conv_mxu=self.solver.conv_mxu,
+                fused_db=self.solver.fused_pallas,
+                taps_static=(
+                    self.solver.taps_static
+                    if self.solver.fused_pallas
+                    else None
+                ),
+                pyramid_levels=self.solver.pyramid_levels,
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi

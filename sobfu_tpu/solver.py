@@ -510,7 +510,7 @@ def estimate_psi_pyramid(
     coarse_its = jnp.int32(
         coarse_max_iter if coarse_max_iter is not None else max_iter
     )
-    total_coarse = 0
+    total_coarse = jnp.int32(0)  # traced-safe (this fn may inline under jit)
     for lev in range(levels - 1, 0, -1):
         tg_c, wg_c, tn_c, wn_c = pyr[lev]
         dims_c = tn_c.shape
@@ -527,7 +527,7 @@ def estimate_psi_pyramid(
             taps_static=taps_static if fused_c else None,
             db_interpret=db_interpret,
         )
-        total_coarse += int(res_c.iters)
+        total_coarse = total_coarse + res_c.iters
         up_dims = pyr[lev - 1][0].shape
         disp = _resample_disp(res_c.psi - fields.identity_field(dims_c),
                               up_dims, 2.0)
