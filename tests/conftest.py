@@ -13,8 +13,11 @@ import os
 # required, not setdefault. PALLAS_AXON_POOL_IPS must also be scrubbed:
 # sitecustomize re-registers the axon TPU plugin whenever it is set, which
 # would route the whole suite through the shared single-client tunnel.
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Escape hatch: SOBFU_TPU_TESTS=1 keeps the real backend so the
+# hardware-validation lane (tests/test_tpu_hw.py) can run on a TPU host.
+if os.environ.get("SOBFU_TPU_TESTS") != "1":
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -28,8 +31,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 # updating the live config here still wins as long as no array op ran yet.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", (
-    "test suite must not run on the shared TPU tunnel; got "
-    + jax.default_backend()
-)
+if os.environ.get("SOBFU_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", (
+        "test suite must not run on the shared TPU tunnel; got "
+        + jax.default_backend()
+    )
