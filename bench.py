@@ -135,17 +135,18 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
     fused = conv_mxu and dim % 128 == 0  # conv_mxu flags "on TPU" here
     chunks = 8 if (dim >= 128 and not fused) else 0
 
-    def run_mom():
+    def run_mom(live, psi_inv0):
         psi = fields.identity_field(dims)
-        common = (psi, tg, wg, tn, wn, taps, jnp.float32(0.05),
+        common = (psi, tg, wg, live, wn, taps, jnp.float32(0.05),
                   jnp.float32(0.2), cap, thresh)
         if fused:
             # production mode: 2-level coarse-to-fine + momentum + fused
-            # kernel (the coarse level warm-starts the fine solve; same
-            # fixed point, fewer full-resolution iterations)
+            # kernel + warm-started 12-iteration inverse (solver defaults
+            # in window mode)
             return solver.estimate_psi_pyramid(
-                *common, levels=2, warp_window=2, momentum=0.9,
+                *common, psi_inv0, levels=2, warp_window=2, momentum=0.9,
                 fused_db=True, taps_static=taps_static, conv_mxu=conv_mxu,
+                inverse_iters=12,
             )
         if chunks:
             return solver.estimate_psi_chunked(
@@ -153,15 +154,29 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
                 conv_mxu=conv_mxu,
             )
         return solver.estimate_psi(
-            *common, warp_window=2, momentum=0.9, conv_mxu=conv_mxu,
+            *common, psi_inv0, warp_window=2, momentum=0.9,
+            conv_mxu=conv_mxu, inverse_iters=12,
         )
 
-    res = run_mom()  # compile + warm
+    # steady-state warm start for the inverse tail, as in production: the
+    # "previous frame" is a genuinely different scene (half the shift), so
+    # its inverse is a realistic — not self-fulfilling — warm start. The
+    # same compiled program serves both solves (only inputs differ).
+    prev_tn, _ = init_sphere(
+        dims, (vs,) * 3, (0.5 - 0.6 * vs, 0.5, 0.5), 0.202, trunc, eta
+    )
+    ident = fields.identity_field(dims)
+    inv_warm = run_mom(prev_tn, ident).psi_inv
+
+    def run_mom_steady():
+        return run_mom(tn, inv_warm)
+
+    res = run_mom_steady()  # compile + warm
     iters = int(res.iters)
     times = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
-        res = run_mom()
+        res = run_mom_steady()
         _ = float(res.max_norm)
         times.append(time.perf_counter() - t0)
     t_solve = min(times)
