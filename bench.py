@@ -90,7 +90,7 @@ def solve_time_per_iter(
     run(n_lo)  # compile + warm
     run(n_hi)
     pers = []
-    for _ in range(8):
+    for _ in range(14):
         t0 = time.perf_counter()
         run(n_lo)
         t_lo = time.perf_counter() - t0
@@ -224,7 +224,10 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
     dim = 128 if on_tpu else 32
-    n_lo, n_hi = (64, 1024) if on_tpu else (4, 16)
+    # short pairs: a pool-contention stall inside a pair poisons it, so
+    # many ~0.4 s pairs catch an uncontended minimum far more reliably
+    # than few ~0.8 s ones (loop scaling cancels fixed dispatch overhead)
+    n_lo, n_hi = (64, 512) if on_tpu else (4, 16)
     K = 2
 
     # production TPU path: the double-buffered fused Pallas GD kernel
