@@ -34,7 +34,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sobfu_tpu import fields
-from sobfu_tpu.fields import conv1d_replicate, _slice  # reuse helpers
+from sobfu_tpu.fields import conv1d_replicate  # reuse helper
 
 
 def make_mesh(
