@@ -56,6 +56,11 @@ def build_argparser() -> argparse.ArgumentParser:
         "equivalent of the reference's PCL window)",
     )
     ap.add_argument("--live-viz-port", type=int, default=8765)
+    ap.add_argument(
+        "--live-viz-host", default="127.0.0.1",
+        help="interface the live viewer binds to (default loopback only; "
+        "pass 0.0.0.0 explicitly to expose it to the network)",
+    )
     ap.add_argument("--checkpoint", default=None, help="write state here after each frame")
     ap.add_argument("--resume", default=None, help="restore state before starting")
     return ap
@@ -106,7 +111,9 @@ def main(argv=None) -> int:
     if args.live_viz:
         from sobfu_tpu.viewer import LiveViewer
 
-        live = LiveViewer(port=args.live_viz_port).start()
+        live = LiveViewer(
+            port=args.live_viz_port, host=args.live_viz_host
+        ).start()
         print(f"live viewer: http://localhost:{live.port}/")
 
     want_color = (

@@ -147,11 +147,13 @@ def save_mesh_vtk(mesh: Mesh, path: str, binary: bool = False) -> None:
             # per-vertex RGB (VTK legacy COLOR_SCALARS, floats in [0, 1])
             f.write(f"POINT_DATA {n_pts}\n".encode())
             f.write(b"COLOR_SCALARS rgb 3\n")
-            cf = np.asarray(colors, np.float32) / 255.0
             if binary:
-                f.write((cf * 255).astype(np.uint8).tobytes())
+                # write the original uint8 bytes directly — a float round
+                # trip (x/255*255) can shift channel values down by one
+                f.write(np.asarray(colors, np.uint8).tobytes())
                 f.write(b"\n")
             else:
+                cf = np.asarray(colors, np.float32) / 255.0
                 np.savetxt(f, cf, fmt="%.4f")
 
 

@@ -87,196 +87,6 @@ def _shift_x_edge(a: jnp.ndarray, o: int, X: int) -> jnp.ndarray:
     return jnp.where(xx < -o, edge, rolled)
 
 
-def _make_kernel(BZ, TY, Z, Y, X, K, taps, n_taps):
-    """Build the fused GD-step kernel body for static tile geometry."""
-    KZ = _H  # live-volume halo: fixed at _H so the scratch is sublane-aligned
-    R = n_taps // 2
-    DZ = BZ + 2 * R  # dU z-rows (output rows + conv halo)
-    DY = TY + 2 * R
-
-    def kernel(
-        scal_ref,  # SMEM f32[2]: alpha, w_reg
-        psi_ref,  # ANY f32[3, Z+2H, Y+2H, X]
-        tnp_ref,  # ANY f32[Z+2H, Y+2H, X]
-        tg_ref,  # ANY f32[Z+2H, Y+2H, X]
-        live_ref,  # ANY f32[Z+2KZ, Y+2KZ, X]
-        psi_out,  # VMEM f32[3, BZ, TY, X]
-        tnp_out,  # VMEM f32[BZ, TY, X]
-        mx_out,  # VMEM f32[1, 1, 8, 128] (per-tile max, sublane-aligned)
-        s_psi,
-        s_tnp,
-        s_tg,
-        s_live,
-        sems,
-    ):
-        iz = pl.program_id(0)
-        iy = pl.program_id(1)
-        z0 = iz * BZ
-        y0 = iy * TY
-        alpha = scal_ref[0]
-        w_reg = scal_ref[1]
-
-        cp_psi = pltpu.make_async_copy(
-            psi_ref.at[:, pl.ds(z0, BZ + 2 * _H), pl.ds(y0, TY + 2 * _H), :],
-            s_psi,
-            sems.at[0],
-        )
-        cp_tnp = pltpu.make_async_copy(
-            tnp_ref.at[pl.ds(z0, BZ + 2 * _H), pl.ds(y0, TY + 2 * _H), :],
-            s_tnp,
-            sems.at[1],
-        )
-        cp_tg = pltpu.make_async_copy(
-            tg_ref.at[pl.ds(z0, BZ + 2 * _H), pl.ds(y0, TY + 2 * _H), :],
-            s_tg,
-            sems.at[2],
-        )
-        cp_live = pltpu.make_async_copy(
-            live_ref.at[pl.ds(z0, BZ + 2 * KZ), pl.ds(y0, TY + 2 * KZ), :],
-            s_live,
-            sems.at[3],
-        )
-        cp_psi.start()
-        cp_tnp.start()
-        cp_tg.start()
-        cp_live.start()
-        cp_psi.wait()
-        cp_tnp.wait()
-        cp_tg.wait()
-        cp_live.wait()
-
-        # ---- global-position masks for the boundary-vanishing stencils ----
-        # dU rows cover global z in [z0 - R, z0 + BZ + R), y likewise.
-        shape_d = (DZ, DY, X)
-        gz = jax.lax.broadcasted_iota(jnp.int32, shape_d, 0) + (z0 - R)
-        gy = jax.lax.broadcasted_iota(jnp.int32, shape_d, 1) + (y0 - R)
-        gx = jax.lax.broadcasted_iota(jnp.int32, shape_d, 2)
-        # clamp to the volume (padded rows replicate the boundary voxel,
-        # whose stencil is also zero)
-        gz = jnp.clip(gz, 0, Z - 1)
-        gy = jnp.clip(gy, 0, Y - 1)
-        mz = ((gz > 0) & (gz < Z - 1)).astype(jnp.float32)
-        my = ((gy > 0) & (gy < Y - 1)).astype(jnp.float32)
-        mx = ((gx > 0) & (gx < X - 1)).astype(jnp.float32)
-
-        # ---- tnp / tg views over the dU row range ----
-        # scratch index: padded global row g  <->  s[g - z0 + H]
-        o = _H - R  # scratch offset of the first dU row
-
-        # per-channel processing keeps at most ~2 tile-sized temps live at a
-        # time — VMEM is only 16 MB and every named intermediate costs stack
-        def grad_of(c):
-            t_c = s_tnp[pl.ds(o, DZ), pl.ds(o, DY), :]
-            if c == 0:
-                return (_shift_x_edge(t_c, 1, X) - _shift_x_edge(t_c, -1, X)) * 0.5 * mx
-            if c == 1:
-                return (
-                    s_tnp[pl.ds(o, DZ), pl.ds(o + 1, DY), :]
-                    - s_tnp[pl.ds(o, DZ), pl.ds(o - 1, DY), :]
-                ) * 0.5 * my
-            return (
-                s_tnp[pl.ds(o + 1, DZ), pl.ds(o, DY), :]
-                - s_tnp[pl.ds(o - 1, DZ), pl.ds(o, DY), :]
-            ) * 0.5 * mz
-
-        update_sq = None
-        for c in range(3):
-            diff = (
-                s_tnp[pl.ds(o, DZ), pl.ds(o, DY), :]
-                - s_tg[pl.ds(o, DZ), pl.ds(o, DY), :]
-            )
-            p_c = s_psi[c, pl.ds(o, DZ), pl.ds(o, DY), :]
-            lap_x = (
-                _shift_x_edge(p_c, 1, X) + _shift_x_edge(p_c, -1, X) - 2.0 * p_c
-            ) * mx
-            lap_y = (
-                s_psi[c, pl.ds(o, DZ), pl.ds(o + 1, DY), :]
-                + s_psi[c, pl.ds(o, DZ), pl.ds(o - 1, DY), :]
-                - 2.0 * p_c
-            ) * my
-            lap_z = (
-                s_psi[c, pl.ds(o + 1, DZ), pl.ds(o, DY), :]
-                + s_psi[c, pl.ds(o - 1, DZ), pl.ds(o, DY), :]
-                - 2.0 * p_c
-            ) * mz
-            neg_lap = -(lap_x + lap_y + lap_z)
-
-            dU = diff * grad_of(c) + w_reg * neg_lap  # [DZ, DY, X]
-
-            # ---- Sobolev smoothing: sum of three 1-D convolutions ----
-            # taps index flipped (n-1-k) so each pass is a true convolution
-            # matching fields.conv1d_replicate for asymmetric taps; identical
-            # for the symmetric shipped Sobolev filters.
-            # x: edge-clamped lane shifts on the output row range
-            dU_ctr = dU[R:R + BZ, R:R + TY, :]
-            acc = jnp.zeros((BZ, TY, X), jnp.float32)
-            for k in range(n_taps):
-                sx = k - R
-                acc = acc + taps[n_taps - 1 - k] * _shift_x_edge(dU_ctr, sx, X)
-            # y: static slices of the extended dU block
-            for k in range(n_taps):
-                acc = acc + taps[n_taps - 1 - k] * dU[R:R + BZ, k:k + TY, :]
-            # z
-            for k in range(n_taps):
-                acc = acc + taps[n_taps - 1 - k] * dU[k:k + BZ, R:R + TY, :]
-
-            upd = alpha * acc
-            psi_out[c] = s_psi[c, pl.ds(_H, BZ), pl.ds(_H, TY), :] - upd
-            update_sq = upd * upd if update_sq is None else update_sq + upd * upd
-
-        mx_out[:] = jnp.full((1, 1, 8, 128), jnp.max(update_sq), jnp.float32)
-
-        # ---- bounded-window trilinear warp of the live tsdf at psi' ----
-        px = psi_out[0]
-        py = psi_out[1]
-        pz = psi_out[2]
-        shape_o = (BZ, TY, X)
-        vx = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2).astype(jnp.float32)
-        vy = (
-            jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) + y0
-        ).astype(jnp.float32)
-        vz = (
-            jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0
-        ).astype(jnp.float32)
-        hi = K - 1e-4  # open window: corner offsets span [-K, K]
-        dx = jnp.clip(jnp.clip(px, 0.0, X - 1) - vx, -K, hi)
-        dy = jnp.clip(jnp.clip(py, 0.0, Y - 1) - vy, -K, hi)
-        dz = jnp.clip(jnp.clip(pz, 0.0, Z - 1) - vz, -K, hi)
-
-        # z offsets as a ROLLED fori_loop: Mosaic stack-allocates every value
-        # in an unrolled loop, so a fully unrolled (2K+1)^3 window blows the
-        # 16 MB VMEM budget — the rolled loop reuses the same few tile temps.
-        # The dynamic start lands on the MAJOR (z) dim only; the y offset is
-        # statically unrolled (static sublane slices are legal in Mosaic —
-        # dynamic sublane starts are what crashed the round-1 kernel), and x
-        # shifts are static lane rolls.
-        Wn = 2 * K + 1
-
-        def warp_body(i, acc):
-            oz = i - K  # traced z offset; dynamic start on the major dim
-            lz = s_live[pl.ds(KZ + oz, BZ), :, :]
-            acc_y = jnp.zeros(shape_o, jnp.float32)
-            for oy in range(-K, K + 1):
-                lzy = lz[:, KZ + oy : KZ + oy + TY, :]
-                acc_x = jnp.zeros(shape_o, jnp.float32)
-                for ox in range(-K, K + 1):
-                    acc_x = acc_x + jnp.maximum(
-                        0.0, 1.0 - jnp.abs(dx - ox)
-                    ) * _shift_x_edge(lzy, ox, X)
-                acc_y = acc_y + jnp.maximum(
-                    0.0, 1.0 - jnp.abs(dy - oy)
-                ) * acc_x
-            wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32)))
-            return acc + wz * acc_y
-
-        out = jax.lax.fori_loop(
-            0, Wn, warp_body, jnp.zeros(shape_o, jnp.float32)
-        )
-        tnp_out[:] = out
-
-    return kernel
-
-
 # ---------------------------------------------------------------------------
 # warp-only kernel (the production hot path)
 # ---------------------------------------------------------------------------
@@ -416,16 +226,23 @@ def window_warp_pallas(
     kernel. Semantics identical to fields.sample_trilinear_window /
     sample_nearest_floor_window; valid while displacements stay within K.
 
-    TY=0 picks the default y-tile: whole Y up to 128 rows, 64 beyond
-    (whole-Y tiles at X=256 exceed the scoped-vmem budget).
+    TY=0 picks the default y-tile sized to Mosaic's 16 MB scoped-vmem
+    budget: the kernel body keeps ~2(2K+1)+4 tile-sized temps live
+    (wxs/wys across the z fori_loop, lxz + accumulators inside), so the
+    safe tile area TY*X shrinks as K grows. Calibrated to the measured
+    K=2 points (whole-Y at 128^3 compiles; TY=64 at X=256; TY=32 at
+    X=512; one step larger fails), e.g. K=4 at 128^3 -> TY=64.
     """
     squeeze = vol.ndim == 3
     if squeeze:
         vol = vol[None]
     C, Z, Y, X = vol.shape
     if TY == 0:
-        # scoped-vmem-safe default: tile footprint scales with TY*X
-        TY = Y if Y <= 128 else (64 if X <= 256 else 32)
+        units = 2 * (2 * K + 1) + 4
+        budget = 128 * 128 * 14  # known-good: K=2 whole-Y tile at X=128
+        TY = Y
+        while TY > 8 and TY * X * units > budget:
+            TY //= 2
         while Y % TY:
             TY //= 2
     assert Z % BZ == 0 and Y % TY == 0, (Z, BZ, Y, TY)
@@ -791,9 +608,13 @@ def fused_gd_iteration_db_padded(
     interpret: bool = False,
     z_base=None,
     z_global: int = 0,
+    vmem_limit_mb: int = 0,
 ):
     """Core of :func:`fused_gd_iteration_db` taking PADDED psi/tnp state
     (see :func:`refresh_padded`). Returns center-sized outputs.
+
+    vmem_limit_mb: raise Mosaic's scoped-vmem budget (default compiler
+    budget when 0) — larger tiles need it.
 
     z_base / z_global: for running inside a z-sharded solve — z_base is the
     (traced) global z of the local block's first row and z_global the
@@ -870,6 +691,11 @@ def fused_gd_iteration_db_padded(
     if mu is not None:
         args.append(vel)
 
+    cparams = (
+        pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_mb << 20)
+        if vmem_limit_mb
+        else None
+    )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -878,6 +704,7 @@ def fused_gd_iteration_db_padded(
         out_shape=tuple(out_shapes),
         scratch_shapes=scratch,
         interpret=interpret,
+        **({"compiler_params": cparams} if cparams else {}),
     )(*args)
 
     if mu is not None:
@@ -959,68 +786,18 @@ def fused_gd_step(
 ):
     """One fused solver iteration. Returns (psi', tnp', max||update||^2).
 
-    taps_static: the 1-D Sobolev filter as a static tuple (odd length <= 9).
-    K: warp window half-width in voxels. BZ/TY: tile rows in z/y (TY=0 means
-    the full Y extent). Shapes must tile evenly.
+    Compatibility wrapper over :func:`fused_gd_iteration_db` (the single
+    maintained fused-iteration body — the original round-1 manual-DMA
+    kernel without double buffering was superseded by it and removed).
+    Unlike the production loop path this pads psi/tnp on every call; use
+    :func:`fused_gd_iteration_db_padded` + :func:`refresh_padded` inside
+    solver loops.
     """
-    Z, Y, X = tnp.shape
-    if TY == 0 or TY > Y:
-        TY = Y
-    assert Z % BZ == 0 and Y % TY == 0, (Z, BZ, Y, TY)
-    n_taps = len(taps_static)
-    assert n_taps % 2 == 1 and n_taps <= 2 * _H - 1
-    assert 1 <= K <= _H, f"window K={K} must fit the fixed halo {_H}"
-    KZ = _H  # aligned live halo (== the stencil/conv halo)
-
-    pad_h = [(0, 0), (_H, _H), (_H, _H), (0, 0)]
-    psi_pad = jnp.pad(psi, pad_h, mode="edge")
-    tnp_pad = jnp.pad(tnp, pad_h[1:], mode="edge")
-    tg_pad = jnp.pad(tg, pad_h[1:], mode="edge")
-    live_pad = jnp.pad(live, [(KZ, KZ), (KZ, KZ), (0, 0)], mode="edge")
-
-    grid = (Z // BZ, Y // TY)
-    kernel = _make_kernel(BZ, TY, Z, Y, X, K, taps_static, n_taps)
-
-    out_shapes = (
-        jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
-        jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
-        jax.ShapeDtypeStruct(grid + (8, 128), jnp.float32),
+    psi_new, tnp_new, _, mx_sq = fused_gd_iteration_db(
+        psi, tnp, None, pad_for_db(tg), pad_for_db(live), alpha, w_reg,
+        taps_static, K=K, BZ=BZ, TY=TY, momentum=None, interpret=interpret,
     )
-    scal = jnp.stack([alpha.astype(jnp.float32), w_reg.astype(jnp.float32)])
-
-    psi_new, tnp_new, mx_tiles = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (3, BZ, TY, X), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (BZ, TY, X), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, 8, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ),
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((3, BZ + 2 * _H, TY + 2 * _H, X), jnp.float32),
-            pltpu.VMEM((BZ + 2 * _H, TY + 2 * _H, X), jnp.float32),
-            pltpu.VMEM((BZ + 2 * _H, TY + 2 * _H, X), jnp.float32),
-            pltpu.VMEM((BZ + 2 * KZ, TY + 2 * KZ, X), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
-        interpret=interpret,
-    )(scal, psi_pad, tnp_pad, tg_pad, live_pad)
-
-    return psi_new, tnp_new, jnp.max(mx_tiles)
+    return psi_new, tnp_new, mx_sq
 
 
 def estimate_inverse_window_pallas(

@@ -112,7 +112,7 @@ def fused_frame_step(
     elif n_chunks:
         res = solver_mod.estimate_psi_chunked(
             psi, tsdf_g, weight_g, tn, wn, taps, alpha, w_reg, max_iter,
-            thresh, n_chunks=n_chunks, warp_window=warp_window or 2,
+            thresh, psi_inv0, n_chunks=n_chunks, warp_window=warp_window or 2,
             inverse_iters=inverse_iters, momentum=momentum,
             conv_mxu=conv_mxu,
         )

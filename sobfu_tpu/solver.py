@@ -687,8 +687,10 @@ class Solver:
             # monolithic.
             res = estimate_psi_chunked(
                 *common,
+                psi_inv.data if self.inverse_warm else None,
                 n_chunks=self.z_chunks,
                 warp_window=self.warp_window or 2,
+                inverse_iters=self.inverse_iters,
                 record_energy=record,
                 energy_cap=p.max_iter if record else 0,
                 momentum=self.momentum,
@@ -724,9 +726,12 @@ class Solver:
             iters = int(res.iters)
             hist = np.asarray(res.energy)
             stride = 1 if self.verbosity >= 2 else 50
-            if hist.shape[0] < iters:  # compositive mode records no history
-                hist = np.zeros((0, 3), np.float32)
-            for i in range(0, min(iters, hist.shape[0]), stride):
+            # valid rows carry a positive max-update norm (rows stay zero
+            # past the recorded range — e.g. res.iters includes coarse
+            # pyramid iterations while only fine-level rows are recorded)
+            nz = np.flatnonzero(hist[:, 2] > 0)
+            n_valid = int(nz[-1]) + 1 if nz.size else 0
+            for i in range(0, min(iters, n_valid), stride):
                 e_data, e_reg, mnorm = hist[i]
                 print(
                     f"iter. no. {i + 1}: data energy + w_reg * reg energy = "
@@ -973,6 +978,7 @@ def estimate_psi_chunked(
     w_reg: jnp.ndarray,
     max_iter: jnp.ndarray,
     max_update_norm_thresh: jnp.ndarray,
+    psi_inv0: Optional[jnp.ndarray] = None,
     *,
     n_chunks: int = 8,
     warp_window: int = 2,
@@ -987,9 +993,11 @@ def estimate_psi_chunked(
     stencils; association order of the z-convolution differs, so agreement
     is to float32 round-off, not bit-exact). Use for grids >= 256^3.
 
-    Supports the same ``momentum`` (heavy-ball) extension and per-iteration
-    ``(e_data, e_reg, max_norm)`` energy recording as the monolithic solve,
-    so verbose logging and accelerated modes work on chunked grids too.
+    Supports the same ``momentum`` (heavy-ball) extension, the same
+    ``psi_inv0`` inverse-field warm start (pair with a reduced
+    ``inverse_iters``), and per-iteration ``(e_data, e_reg, max_norm)``
+    energy recording as the monolithic solve, so verbose logging and
+    accelerated modes work on chunked grids too.
     """
     Z, Y, X = tsdf_n.shape
     assert Z % n_chunks == 0, (Z, n_chunks)
@@ -1146,7 +1154,8 @@ def estimate_psi_chunked(
         s = sample_field_chunks(disp_c, inv_c)
         return tuple(e - d for e, d in zip(ident_c, s))
 
-    inv_c = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_c)
+    inv_init = ident_c if psi_inv0 is None else split(psi_inv0, 1)
+    inv_c = jax.lax.fori_loop(0, inverse_iters, inv_body, inv_init)
 
     # ---- tail warps, chunked ----
     tg_chunks = tg_c

@@ -157,7 +157,7 @@ def _png_b64(img: np.ndarray) -> str:
 class LiveViewer:
     """Serve a live view of the reconstruction over HTTP."""
 
-    def __init__(self, port: int = 8765, host: str = "0.0.0.0",
+    def __init__(self, port: int = 8765, host: str = "127.0.0.1",
                  max_tris: int = 3000):
         self.port = port
         self.host = host
