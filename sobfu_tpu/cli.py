@@ -63,6 +63,11 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--checkpoint", default=None, help="write state here after each frame")
     ap.add_argument("--resume", default=None, help="restore state before starting")
+    ap.add_argument(
+        "--no-native-loader", action="store_true",
+        help="disable the C++ prefetch frame loader (decode then runs "
+        "synchronously on the Python thread, like the reference app)",
+    )
     return ap
 
 
@@ -120,10 +125,34 @@ def main(argv=None) -> int:
         args.enable_viz or args.enable_viz_detailed or args.color_mesh
         or args.live_viz
     )
-    for i in range(start, n_frames):
-        depth = sio.load_depth(depths[i])
-        if masks:
-            depth = sio.apply_mask(depth, sio.load_mask(masks[i]))
+
+    def frame_stream():
+        """(index, masked uint16 depth) frames. Prefers the native C++
+        prefetch ring (native/sobfu_runtime.cpp): worker threads decode
+        and mask frames ahead while the TPU solve runs, taking disk I/O
+        off the hot path (the reference app decoded synchronously per
+        frame, demo.cpp:311-330). Falls back to synchronous Python
+        decode when the shared library is unavailable."""
+        if not args.no_native_loader:
+            try:
+                from sobfu_tpu import native
+
+                loader = native.FrameLoader(
+                    depths[start:n_frames],
+                    masks[start:n_frames] if masks else None,
+                )
+                for off, d in enumerate(loader):
+                    yield start + off, d
+                return
+            except OSError:
+                pass
+        for j in range(start, n_frames):
+            d = sio.load_depth(depths[j])
+            if masks:
+                d = sio.apply_mask(d, sio.load_mask(masks[j]))
+            yield j, d
+
+    for i, depth in frame_stream():
         # color stream consumed like the reference viewer (demo.cpp:311-330)
         color = (
             sio.load_color(colors[i]) if (want_color and i < len(colors))

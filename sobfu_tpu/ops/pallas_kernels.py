@@ -301,7 +301,8 @@ def window_warp_pallas(
 # chain moves >600 MB.
 
 
-def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles):
+def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles,
+                    XL=0):
     """Fused GD-iteration kernel body with double-buffered input DMA.
 
     Z is the GLOBAL z extent (== the local block depth except inside a
@@ -388,7 +389,7 @@ def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles):
             psi_out, tnp_out, vel_out if has_vel else None, mx_out,
             iz, iy, alpha, w_reg,
             BZ=BZ, TY=TY, Z=Z, Y=Y, X=X, K=K, taps=taps, n_taps=n_taps, mu=mu,
-            z_base=zb_ref[0],
+            z_base=zb_ref[0], XL=XL,
         )
 
     return kernel
@@ -397,7 +398,7 @@ def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles):
 def _gd_tile_compute(
     sp_ref, st_ref, sg_ref, live_slice, vel_at, psi_out, tnp_out, vel_out,
     mx_out, iz, iy, alpha, w_reg, *, BZ, TY, Z, Y, X, K, taps, n_taps, mu,
-    z_base=0
+    z_base=0, XL=0
 ):
     """Shared per-tile GD-iteration compute (stencils + potential gradient
     + Sobolev convolutions + update + windowed warp + tile max norm).
@@ -413,10 +414,21 @@ def _gd_tile_compute(
     compile static-start pl.ds ref slices through .at[] views when the
     lane extent is below 128 — full-tile loads + value slicing lower
     correctly at every lane width (and identically at 128).
+
+    XL ("logical X", default = X): LANE PACKING for small grids. Mosaic
+    rejects this kernel family below 128 lanes, so sub-128 volumes are
+    edge-padded up to 128 lanes OUTSIDE the kernel; X is then the physical
+    lane extent while XL is the true volume width. All x clamps, masks and
+    shifts use XL, so lanes >= XL are dead: real lanes never read them
+    (edge-clamped shifts replicate column XL-1 instead), their update norm
+    is masked out of the convergence max, and their outputs are garbage the
+    caller slices away. Stencil/conv/warp results on lanes < XL are
+    IDENTICAL to the unpadded kernel.
     """
     R = n_taps // 2
     DZ = BZ + 2 * R
     DY = TY + 2 * R
+    XL = XL or X
     has_vel = vel_at is not None
     # z_base: GLOBAL z of local row 0 (traced; nonzero inside a z-sharded
     # solve, where Z is the global extent and psi holds global coords)
@@ -436,7 +448,7 @@ def _gd_tile_compute(
     gy = jnp.clip(gy, 0, Y - 1)
     mz = ((gz > 0) & (gz < Z - 1)).astype(jnp.float32)
     my = ((gy > 0) & (gy < Y - 1)).astype(jnp.float32)
-    mx = ((gx > 0) & (gx < X - 1)).astype(jnp.float32)
+    mx = ((gx > 0) & (gx < XL - 1)).astype(jnp.float32)
 
     o = _H - R  # tile offset of the first dU row
 
@@ -444,7 +456,7 @@ def _gd_tile_compute(
         t_c = st[o:o + DZ, o:o + DY, :]
         if c == 0:
             return (
-                (_shift_x_edge(t_c, 1, X) - _shift_x_edge(t_c, -1, X))
+                (_shift_x_edge(t_c, 1, XL) - _shift_x_edge(t_c, -1, XL))
                 * 0.5
                 * mx
             )
@@ -463,7 +475,7 @@ def _gd_tile_compute(
         diff = st[o:o + DZ, o:o + DY, :] - sg[o:o + DZ, o:o + DY, :]
         p_c = sp[c, o:o + DZ, o:o + DY, :]
         lap_x = (
-            _shift_x_edge(p_c, 1, X) + _shift_x_edge(p_c, -1, X) - 2.0 * p_c
+            _shift_x_edge(p_c, 1, XL) + _shift_x_edge(p_c, -1, XL) - 2.0 * p_c
         ) * mx
         lap_y = (
             sp[c, o:o + DZ, o + 1:o + 1 + DY, :]
@@ -485,7 +497,7 @@ def _gd_tile_compute(
         acc = jnp.zeros((BZ, TY, X), jnp.float32)
         for k in range(n_taps):
             acc = acc + taps[n_taps - 1 - k] * _shift_x_edge(
-                dU_ctr, k - R, X
+                dU_ctr, k - R, XL
             )
         for k in range(n_taps):
             acc = acc + taps[n_taps - 1 - k] * dU[R:R + BZ, k:k + TY, :]
@@ -501,6 +513,9 @@ def _gd_tile_compute(
         psi_out[c] = sp[c, _H:_H + BZ, _H:_H + TY, :] - upd
         update_sq = upd * upd if update_sq is None else update_sq + upd * upd
 
+    if XL < X:  # dead packing lanes must not enter the convergence max
+        lx = jax.lax.broadcasted_iota(jnp.int32, update_sq.shape, 2)
+        update_sq = jnp.where(lx < XL, update_sq, 0.0)
     mx_out[:] = jnp.full((1, 1, 8, 128), jnp.max(update_sq), jnp.float32)
 
     # ---- bounded-window trilinear warp of the live tsdf at psi' ----
@@ -513,7 +528,7 @@ def _gd_tile_compute(
         jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0
     ).astype(jnp.float32)
     hi = K - 1e-4  # open window: corner offsets span [-K, K]
-    dx = jnp.clip(jnp.clip(psi_out[0], 0.0, X - 1) - vx, -K, hi)
+    dx = jnp.clip(jnp.clip(psi_out[0], 0.0, XL - 1) - vx, -K, hi)
     dy = jnp.clip(jnp.clip(psi_out[1], 0.0, Y - 1) - vy, -K, hi)
     dz = jnp.clip(jnp.clip(psi_out[2], 0.0, Z - 1) - vz, -K, hi)
 
@@ -529,7 +544,7 @@ def _gd_tile_compute(
         # loaded value; x shifts are static lane rolls
         oz = i - K
         lz = live_slice(oz)
-        lxz = [_shift_x_edge(lz, ox, X) for ox in range(-K, K + 1)]
+        lxz = [_shift_x_edge(lz, ox, XL) for ox in range(-K, K + 1)]
         acc_y = jnp.zeros(shape_o, jnp.float32)
         for oy in range(-K, K + 1):
             acc_x = jnp.zeros(shape_o, jnp.float32)
@@ -552,6 +567,8 @@ def _db_tiles(Z, Y, X):
     (measured: BZ=8/TY=32 compiles at X=128 and every larger tile fails
     Mosaic's scoped-vmem check; TY=16 at X=256, TY=8 at X=512)."""
     BZ = 8
+    while Z % BZ:  # small local blocks (e.g. z-sharded shards) use fewer rows
+        BZ //= 2
     TY = 32 if X <= 128 else (16 if X <= 256 else 8)
     while Y % TY:
         TY //= 2
@@ -573,6 +590,7 @@ def fused_gd_iteration_db(
     TY: int = 0,
     momentum=None,
     interpret: bool = False,
+    x_pad_to: int = 0,
 ):
     """One fused solver iteration, double-buffered. Traceable (call under jit
     / while_loop). Returns (psi', tnp', vel', max||update||^2); vel' is None
@@ -582,13 +600,31 @@ def fused_gd_iteration_db(
     paid once per solve; psi/tnp are padded here every iteration. For the
     production loop use :func:`fused_gd_iteration_db_padded` with
     :func:`refresh_padded` state instead — it avoids the full pad copies.
+
+    x_pad_to: lane-pack sub-128 grids up to this lane extent (tg_pad /
+    live_pad must be padded with the same ``pad_for_db(..., x_to)``);
+    outputs are sliced back to the logical width here.
     """
-    psi_pad = pad_for_db(psi)
-    tnp_pad = pad_for_db(tnp)
-    return fused_gd_iteration_db_padded(
+    xl = psi.shape[-1] if x_pad_to and x_pad_to > psi.shape[-1] else 0
+    psi_pad = pad_for_db(psi, x_pad_to)
+    tnp_pad = pad_for_db(tnp, x_pad_to)
+    if xl and vel is not None:  # vel rides the kernel un-haloed but must
+        # still span the physical lane extent
+        vel = jnp.pad(
+            vel,
+            [(0, 0)] * (vel.ndim - 1) + [(0, x_pad_to - xl)],
+            mode="edge",
+        )
+    psi_n, tnp_n, vel_n, mx = fused_gd_iteration_db_padded(
         psi_pad, tnp_pad, vel, tg_pad, live_pad, alpha, w_reg, taps_static,
         K=K, BZ=BZ, TY=TY, momentum=momentum, interpret=interpret,
+        x_logical=xl,
     )
+    if xl:
+        psi_n = psi_n[..., :xl]
+        tnp_n = tnp_n[..., :xl]
+        vel_n = vel_n[..., :xl] if vel_n is not None else None
+    return psi_n, tnp_n, vel_n, mx
 
 
 def fused_gd_iteration_db_padded(
@@ -609,12 +645,18 @@ def fused_gd_iteration_db_padded(
     z_base=None,
     z_global: int = 0,
     vmem_limit_mb: int = 0,
+    x_logical: int = 0,
 ):
     """Core of :func:`fused_gd_iteration_db` taking PADDED psi/tnp state
     (see :func:`refresh_padded`). Returns center-sized outputs.
 
     vmem_limit_mb: raise Mosaic's scoped-vmem budget (default compiler
     budget when 0) — larger tiles need it.
+
+    x_logical: true volume width when the inputs are LANE-PACKED (edge-
+    padded in x up to a Mosaic-compilable lane extent, see
+    :func:`_gd_tile_compute`); outputs then carry the physical width and
+    the caller slices [..., :x_logical]. 0 = unpadded.
 
     z_base / z_global: for running inside a z-sharded solve — z_base is the
     (traced) global z of the local block's first row and z_global the
@@ -642,7 +684,8 @@ def fused_gd_iteration_db_padded(
     n_tiles = nz * ny
     mu = float(momentum) if momentum is not None else None
     kernel = _make_db_kernel(
-        BZ, TY, z_global or Z, Y, X, K, taps_static, n_taps, mu, ny, n_tiles
+        BZ, TY, z_global or Z, Y, X, K, taps_static, n_taps, mu, ny, n_tiles,
+        XL=x_logical,
     )
 
     in_specs = [
@@ -715,10 +758,16 @@ def fused_gd_iteration_db_padded(
     return psi_new, tnp_new, vel_new, jnp.max(mx_tiles)
 
 
-def pad_for_db(vol: jnp.ndarray) -> jnp.ndarray:
-    """Edge-pad a volume by the fixed kernel halo (loop-invariant inputs)."""
+def pad_for_db(vol: jnp.ndarray, x_to: int = 0) -> jnp.ndarray:
+    """Edge-pad a volume by the fixed kernel halo (loop-invariant inputs).
+
+    x_to: additionally LANE-PACK — edge-pad the x (lane) axis up to x_to
+    so sub-128 grids reach a Mosaic-compilable lane extent. The kernel's
+    logical-X clamping (see :func:`_gd_tile_compute`) keeps the padded
+    lanes inert; the pad content merely needs to be finite."""
     lead = [(0, 0)] * (vol.ndim - 3)
-    return jnp.pad(vol, lead + [(_H, _H), (_H, _H), (0, 0)], mode="edge")
+    xp = max(0, x_to - vol.shape[-1]) if x_to else 0
+    return jnp.pad(vol, lead + [(_H, _H), (_H, _H), (0, xp)], mode="edge")
 
 
 def refresh_padded(buf: jnp.ndarray, center: jnp.ndarray) -> jnp.ndarray:
@@ -759,11 +808,13 @@ def refresh_padded(buf: jnp.ndarray, center: jnp.ndarray) -> jnp.ndarray:
     return buf
 
 
-def unpad_db(buf: jnp.ndarray) -> jnp.ndarray:
-    """Interior of an _H-edge-padded array."""
+def unpad_db(buf: jnp.ndarray, x_logical: int = 0) -> jnp.ndarray:
+    """Interior of an _H-edge-padded array (x sliced to x_logical if
+    lane-packed)."""
     nd = buf.ndim
     sl = (Ellipsis, slice(_H, buf.shape[nd - 3] - _H),
-          slice(_H, buf.shape[nd - 2] - _H), slice(None))
+          slice(_H, buf.shape[nd - 2] - _H),
+          slice(None, x_logical or None))
     return buf[sl]
 
 

@@ -148,7 +148,7 @@ def _sample_window_local(vol_e, coords_l, z0, K, floor=False):
 
 def _gd_step_local(
     psi_l, tnp_l, tsdf_g_l, tsdf_n_src, taps, alpha, w_reg, z0, axis_name,
-    warp_window=None,
+    warp_window=None, vel_l=None, momentum=None,
 ):
     """One gradient-descent step on a local z-block (runs inside shard_map).
 
@@ -159,6 +159,9 @@ def _gd_step_local(
     ever materialised per device.
     warp_window: None = exact XLA gather warp; int = gather-free bounded
     window (the TPU-fast path, see fields.sample_trilinear_window_zoffset).
+    vel_l/momentum: heavy-ball velocity block + coefficient (production
+    acceleration, same semantics as the single-chip solve; the velocity is
+    purely local — no extra collectives).
     """
     H = 4  # halo: stencil radius 1 + conv radius 3
     nz = jax.lax.axis_size(axis_name)
@@ -191,7 +194,12 @@ def _gd_step_local(
         + _conv_z_halo(dU_p, taps, H)
     )
 
-    update = alpha * dU_S
+    if momentum is not None:
+        vel_new = momentum * vel_l + dU_S
+        update = alpha * vel_new
+    else:
+        vel_new = vel_l
+        update = alpha * dU_S
     psi_new = psi_l - update
 
     # psi holds GLOBAL coords; sample the live volume (full or halo-extended)
@@ -202,12 +210,12 @@ def _gd_step_local(
 
     mnorm = jnp.sqrt(jnp.max(jnp.sum(update * update, axis=0)))
     mnorm = jax.lax.pmax(mnorm, axis_name)
-    return psi_new, tnp_new, mnorm
+    return psi_new, tnp_new, vel_new, mnorm
 
 
 def _gd_step_local_fused(
     psi_l, tnp_l, tg_pad, live_pad, taps_static, alpha, w_reg, z0, axis_name,
-    K, z_global, interpret,
+    K, z_global, interpret, vel_l=None, momentum=None,
 ):
     """One fused-kernel gradient-descent step on a local z-block.
 
@@ -216,7 +224,8 @@ def _gd_step_local_fused(
     with its z-halo rows fed by the ICI halo exchange instead of edge
     replication — the kernel's global-position masks/coordinates take the
     shard offset (z_base) and global depth (z_global). Exactly the same
-    numbers as :func:`_gd_step_local` in windowed mode.
+    numbers as :func:`_gd_step_local` in windowed mode, including the
+    heavy-ball momentum extension (vel_l/momentum).
     """
     from sobfu_tpu.ops.pallas_kernels import fused_gd_iteration_db_padded
 
@@ -225,35 +234,117 @@ def _gd_step_local_fused(
     tnp_p = _halo_exchange_z(tnp_l, H, axis_name)
     psi_pad = jnp.pad(psi_p, [(0, 0), (0, 0), (H, H), (0, 0)], mode="edge")
     tnp_pad = jnp.pad(tnp_p, [(0, 0), (H, H), (0, 0)], mode="edge")
-    psi_c, tnp_c, _, mx_sq = fused_gd_iteration_db_padded(
-        psi_pad, tnp_pad, None, tg_pad, live_pad, alpha, w_reg, taps_static,
-        K=K, momentum=None, interpret=interpret,
+    psi_c, tnp_c, vel_new, mx_sq = fused_gd_iteration_db_padded(
+        psi_pad, tnp_pad, vel_l if momentum is not None else None,
+        tg_pad, live_pad, alpha, w_reg, taps_static,
+        K=K, momentum=momentum, interpret=interpret,
         z_base=z0, z_global=z_global,
     )
+    if momentum is None:
+        vel_new = vel_l
     mnorm = jax.lax.pmax(jnp.sqrt(mx_sq), axis_name)
-    return psi_c, tnp_c, mnorm
+    return psi_c, tnp_c, vel_new, mnorm
+
+
+def _downsample2_local(vol: jnp.ndarray) -> jnp.ndarray:
+    """2x average-pool the last three axes of a local block."""
+    sh = vol.shape
+    Z, Y, X = sh[-3], sh[-2], sh[-1]
+    v = vol.reshape(sh[:-3] + (Z // 2, 2, Y // 2, 2, X // 2, 2))
+    return v.mean(axis=(-5, -3, -1))
+
+
+def _upsample2_disp_local(disp: jnp.ndarray, dims_zyx) -> jnp.ndarray:
+    """Trilinearly upsample a local displacement block 2x, doubling the
+    displacement VALUES (voxel-unit change). Per-shard resize: the z seam
+    between shards is approximated by edge extension — warm-start quality
+    only (the fine level converges to the same fixed point)."""
+    out = jax.image.resize(disp, disp.shape[:-3] + tuple(dims_zyx),
+                           method="trilinear")
+    return out * jnp.float32(2.0)
 
 
 def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
                               warp_window=None, fused: bool = False,
-                              taps_static=None):
+                              taps_static=None, momentum=None,
+                              warm_inverse: bool = False,
+                              pyramid_levels: int = 1,
+                              coarse_max_iter=None):
     """Build a jit-compiled sharded solve for the given mesh.
 
     Returns fn(psi, tsdf_global, weight_global, tsdf_n, weight_n, taps,
-    alpha, w_reg, max_iter, thresh) -> (psi, psi_inv, tnp, wnp, tgi, wgi,
-    iters, max_norm). Arrays are full-sized; jit lays them out sharded.
+    alpha, w_reg, max_iter, thresh[, psi_inv0]) -> (psi, psi_inv, tnp, wnp,
+    tgi, wgi, iters, max_norm). Arrays are full-sized; jit lays them out
+    sharded.
 
     fused: run each per-shard iteration as the fused Pallas kernel
     (requires warp_window and taps_static; lane extent >= 128 on real
     TPUs — interpret mode is used automatically on CPU meshes).
+
+    momentum: heavy-ball coefficient (production acceleration; velocity is
+    shard-local, no extra collectives). warm_inverse: the returned fn takes
+    an extra trailing psi_inv0 argument that warm-starts the inverse fixed
+    point (pair with a reduced inverse_iters). pyramid_levels > 1 runs
+    coarse-to-fine: 2x-downsampled LOCAL blocks first (halo exchange works
+    identically at every level), displacement upsampled per shard as the
+    next level's warm start — the multi-chip mirror of
+    :func:`sobfu_tpu.solver.estimate_psi_pyramid`.
     """
     axis = "z"
     if fused:
         assert warp_window is not None and taps_static is not None
         interp = jax.devices()[0].platform == "cpu"
 
+    def gd_loop(psi_l, tg_l, tn_l, tn_src, taps, alpha, w_reg, max_iter,
+                thresh, z0, use_fused):
+        """The windowed/fused GD while_loop on one level's local blocks."""
+        K = warp_window
+        if K is None:
+            tnp0 = fields.sample_trilinear(tn_src, psi_l)
+        else:
+            tnp0 = _sample_window_local(tn_src, psi_l, z0, K)
+
+        if use_fused:
+            H = 4
+            z_global = tn_l.shape[-3] * jax.lax.axis_size(axis)
+            tg_pad_f = jnp.pad(
+                _halo_exchange_z(tg_l, H, axis),
+                [(0, 0), (H, H), (0, 0)], mode="edge",
+            )
+            live_pad_f = jnp.pad(
+                _halo_exchange_z(tn_l, H, axis),
+                [(0, 0), (H, H), (0, 0)], mode="edge",
+            )
+
+        vel0 = (
+            jnp.zeros_like(psi_l) if momentum is not None else jnp.float32(0.0)
+        )
+
+        def cond(state):
+            return (state[2] < max_iter) & (state[3] > thresh)
+
+        def body(state):
+            psi_l, tnp_l, it, _, vel_l = state
+            if use_fused:
+                psi_l, tnp_l, vel_l, mnorm = _gd_step_local_fused(
+                    psi_l, tnp_l, tg_pad_f, live_pad_f, taps_static,
+                    alpha, w_reg, z0, axis, K, z_global, interp,
+                    vel_l, momentum,
+                )
+            else:
+                psi_l, tnp_l, vel_l, mnorm = _gd_step_local(
+                    psi_l, tnp_l, tg_l, tn_src, taps, alpha, w_reg, z0, axis,
+                    warp_window, vel_l, momentum,
+                )
+            return psi_l, tnp_l, it + 1, mnorm, vel_l
+
+        psi_l, tnp_l, iters, mnorm, _ = jax.lax.while_loop(
+            cond, body, (psi_l, tnp0, jnp.int32(0), jnp.float32(jnp.inf), vel0)
+        )
+        return psi_l, tnp_l, iters, mnorm
+
     def local_solve(psi_l, tg_l, wg_l, tn_l, wn_l, taps, alpha, w_reg,
-                    max_iter, thresh):
+                    max_iter, thresh, psi_inv0_l=None):
         n_local = psi_l.shape[-3]
         z0 = jax.lax.axis_index(axis) * n_local
         K = warp_window
@@ -264,50 +355,57 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
         # during the solve so either happens ONCE per solve.
         if K is None:
             tn_src = jax.lax.all_gather(tn_l, axis, axis=0, tiled=True)
-            tnp0 = fields.sample_trilinear(tn_src, psi_l)
         else:
             tn_src = _halo_exchange_z(tn_l, K, axis)
-            tnp0 = _sample_window_local(tn_src, psi_l, z0, K)
 
-        if fused:
-            # loop-invariant fused-kernel inputs: H-halo exchange + y pad,
-            # built once per solve
-            H = 4
-            z_global = n_local * jax.lax.axis_size(axis)
-            tg_pad_f = jnp.pad(
-                _halo_exchange_z(tg_l, H, axis),
-                [(0, 0), (H, H), (0, 0)], mode="edge",
+        total_coarse = jnp.int32(0)
+        if pyramid_levels > 1 and K is not None:
+            # coarse-to-fine: downsample LOCAL blocks (z stays sharded),
+            # solve with the plain windowed step (coarse work is cheap;
+            # the fused kernel's lane constraints need not hold there),
+            # upsample the displacement as the fine level's warm start.
+            pyr = [(tg_l, tn_l)]
+            for _ in range(pyramid_levels - 1):
+                a, b = pyr[-1]
+                pyr.append((_downsample2_local(a), _downsample2_local(b)))
+            f = 2 ** (pyramid_levels - 1)
+            ident_l0 = fields.identity_field(
+                psi_l.shape[-3:], psi_l.dtype
+            ).at[2].add(z0.astype(psi_l.dtype))
+            disp = _downsample2_local(psi_l - ident_l0)
+            for _ in range(pyramid_levels - 2):
+                disp = _downsample2_local(disp)
+            disp = disp * jnp.float32(1.0 / f)
+            c_its = jnp.int32(
+                coarse_max_iter if coarse_max_iter is not None else max_iter
             )
-            live_pad_f = jnp.pad(
-                _halo_exchange_z(tn_l, H, axis),
-                [(0, 0), (H, H), (0, 0)], mode="edge",
-            )
-
-        def cond(state):
-            _, _, it, mn = state
-            return (it < max_iter) & (mn > thresh)
-
-        def body(state):
-            psi_l, tnp_l, it, _ = state
-            if fused:
-                psi_l, tnp_l, mnorm = _gd_step_local_fused(
-                    psi_l, tnp_l, tg_pad_f, live_pad_f, taps_static,
-                    alpha, w_reg, z0, axis, K, z_global, interp,
+            for lev in range(pyramid_levels - 1, 0, -1):
+                tg_c, tn_c = pyr[lev]
+                nl_c = tg_c.shape[-3]
+                z0_c = jax.lax.axis_index(axis) * nl_c
+                ident_c = fields.identity_field(
+                    tg_c.shape[-3:], psi_l.dtype
+                ).at[2].add(z0_c.astype(psi_l.dtype))
+                tn_src_c = _halo_exchange_z(tn_c, K, axis)
+                psi_c, _, it_c, _ = gd_loop(
+                    ident_c + disp, tg_c, tn_c, tn_src_c, taps, alpha,
+                    w_reg, c_its, thresh, z0_c, False,
                 )
-            else:
-                psi_l, tnp_l, mnorm = _gd_step_local(
-                    psi_l, tnp_l, tg_l, tn_src, taps, alpha, w_reg, z0, axis,
-                    warp_window,
-                )
-            return psi_l, tnp_l, it + 1, mnorm
+                total_coarse = total_coarse + it_c
+                up = pyr[lev - 1][0].shape[-3:]
+                disp = _upsample2_disp_local(psi_c - ident_c, up)
+            psi_l = ident_l0 + disp
 
-        psi_l, tnp_l, iters, mnorm = jax.lax.while_loop(
-            cond, body, (psi_l, tnp0, jnp.int32(0), jnp.float32(jnp.inf))
+        psi_l, tnp_l, iters, mnorm = gd_loop(
+            psi_l, tg_l, tn_l, tn_src, taps, alpha, w_reg, max_iter, thresh,
+            z0, fused,
         )
+        iters = iters + total_coarse
 
         ident_l = fields.identity_field(
             (n_local,) + psi_l.shape[-2:], psi_l.dtype
         ).at[2].add(z0.astype(psi_l.dtype))
+        inv_init = ident_l if psi_inv0_l is None else psi_inv0_l
 
         if K is None:
             # inverse field: needs the full displacement field for its gathers
@@ -320,7 +418,7 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
             def inv_body(_, inv_l):
                 return ident_l - fields.sample_field_trilinear(disp_full, inv_l)
 
-            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
+            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, inv_init)
 
             # warp the global volume by psi_inv (needs full phi_global)
             tg_full = jax.lax.all_gather(tg_l, axis, axis=0, tiled=True)
@@ -339,7 +437,7 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
             def inv_body(_, inv_l):
                 return ident_l - _sample_window_local(disp_e, inv_l, z0, K)
 
-            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
+            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, inv_init)
 
             tg_e = _halo_exchange_z(tg_l, K, axis)
             wg_e = _halo_exchange_z(wg_l, K, axis)
@@ -352,13 +450,16 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
 
     from jax import shard_map
 
+    in_specs = [
+        P(None, "z"), P("z"), P("z"), P("z"), P("z"),
+        P(), P(), P(), P(), P(),
+    ]
+    if warm_inverse:
+        in_specs.append(P(None, "z"))
     mapped = shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=(
-            P(None, "z"), P("z"), P("z"), P("z"), P("z"),
-            P(), P(), P(), P(), P(),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(
             P(None, "z"), P(None, "z"), P("z"), P("z"), P("z"), P("z"),
             P(), P(),
@@ -386,16 +487,25 @@ def estimate_psi_sharded(mesh: Mesh, psi, tsdf_global, weight_global, tsdf_n,
 
 
 def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
-                    inverse_iters: int = 8, warp_window=None):
+                    inverse_iters: int = 8, warp_window=None,
+                    fused: bool = False, taps_static=None, momentum=None,
+                    warm_inverse: bool = False):
     """One full frame step (integrate -> solve -> fuse) over a
     ('scene', 'z') mesh: scenes are data-parallel, the grid is z-sharded.
 
     shard_map is outermost; scenes within a shard are handled by an inner
     vmap. Returns (jitted step fn, sharding dict). Step signature:
       step(psi_b, tg_b, wg_b, dists_b, vol2cam_b, intr, voxel_sizes,
-           trunc, eta, max_weight, taps, alpha, w_reg, max_iter, thresh)
+           trunc, eta, max_weight, taps, alpha, w_reg, max_iter, thresh
+           [, psi_inv0_b])
       -> (psi_b, psi_inv_b, tg_b, wg_b, iters_b, mnorm_b)
     with psi_b f32[S,3,Z,Y,X], volumes f32[S,Z,Y,X], dists f32[S,H,W].
+
+    Production options mirror the single-chip solve: fused (per-shard fused
+    Pallas iterations; needs warp_window + taps_static), momentum
+    (heavy-ball, shard-local velocity), warm_inverse (extra trailing
+    psi_inv0_b operand warm-starting the inverse fixed point — pair with a
+    reduced inverse_iters).
     """
     from jax import shard_map
     from sobfu_tpu.tsdf import integrate_dists, fuse_volumes
@@ -408,10 +518,13 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
         f"local z-block {local_dims[0]} smaller than the halo radius 4; "
         f"use fewer z-shards for a {Z}-deep grid"
     )
+    if fused:
+        assert warp_window is not None and taps_static is not None
+        interp = jax.devices()[0].platform == "cpu"
 
-    def per_scene(psi_l, tg_l, wg_l, dists, vol2cam, intr, voxel_sizes,
-                  trunc, eta, max_weight, taps, alpha, w_reg, max_iter,
-                  thresh):
+    def per_scene(psi_l, tg_l, wg_l, dists, vol2cam, psi_inv0_l, intr,
+                  voxel_sizes, trunc, eta, max_weight, taps, alpha, w_reg,
+                  max_iter, thresh):
         z0 = jax.lax.axis_index(axis) * local_dims[0]
         tn_l, wn_l = integrate_dists(
             jnp.zeros_like(tg_l), jnp.zeros_like(wg_l), dists, vol2cam, intr,
@@ -426,25 +539,49 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
             tn_src = _halo_exchange_z(tn_l, K, axis)
             tnp0 = _sample_window_local(tn_src, psi_l, z0, K)
 
+        if fused:
+            H = 4
+            z_global = local_dims[0] * jax.lax.axis_size(axis)
+            tg_pad_f = jnp.pad(
+                _halo_exchange_z(tg_l, H, axis),
+                [(0, 0), (H, H), (0, 0)], mode="edge",
+            )
+            live_pad_f = jnp.pad(
+                _halo_exchange_z(tn_l, H, axis),
+                [(0, 0), (H, H), (0, 0)], mode="edge",
+            )
+
+        vel0 = (
+            jnp.zeros_like(psi_l) if momentum is not None else jnp.float32(0.0)
+        )
+
         def cond(state):
-            _, _, it, mn = state
-            return (it < max_iter) & (mn > thresh)
+            return (state[2] < max_iter) & (state[3] > thresh)
 
         def body(state):
-            psi_l, tnp_l, it, _ = state
-            psi_l, tnp_l, mnorm = _gd_step_local(
-                psi_l, tnp_l, tg_l, tn_src, taps, alpha, w_reg, z0, axis,
-                warp_window,
-            )
-            return psi_l, tnp_l, it + 1, mnorm
+            psi_l, tnp_l, it, _, vel_l = state
+            if fused:
+                psi_l, tnp_l, vel_l, mnorm = _gd_step_local_fused(
+                    psi_l, tnp_l, tg_pad_f, live_pad_f, taps_static,
+                    alpha, w_reg, z0, axis, K, z_global, interp,
+                    vel_l, momentum,
+                )
+            else:
+                psi_l, tnp_l, vel_l, mnorm = _gd_step_local(
+                    psi_l, tnp_l, tg_l, tn_src, taps, alpha, w_reg, z0, axis,
+                    warp_window, vel_l, momentum,
+                )
+            return psi_l, tnp_l, it + 1, mnorm, vel_l
 
-        psi_l, tnp_l, iters, mnorm = jax.lax.while_loop(
-            cond, body, (psi_l, tnp0, jnp.int32(0), jnp.float32(jnp.inf))
+        psi_l, tnp_l, iters, mnorm, _ = jax.lax.while_loop(
+            cond, body,
+            (psi_l, tnp0, jnp.int32(0), jnp.float32(jnp.inf), vel0),
         )
 
         ident_l = fields.identity_field(
             (local_dims[0],) + psi_l.shape[-2:], psi_l.dtype
         ).at[2].add(z0.astype(psi_l.dtype))
+        inv_init = ident_l if psi_inv0_l is None else psi_inv0_l
 
         if K is None:
             psi_full = jax.lax.all_gather(psi_l, axis, axis=1, tiled=True)
@@ -456,7 +593,7 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
             def inv_body(_, inv_l):
                 return ident_l - fields.sample_field_trilinear(disp_full, inv_l)
 
-            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
+            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, inv_init)
 
             wn_full = jax.lax.all_gather(wn_l, axis, axis=0, tiled=True)
             wnp_l = fields.sample_nearest_floor(wn_full, psi_l)
@@ -466,7 +603,7 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
             def inv_body(_, inv_l):
                 return ident_l - _sample_window_local(disp_e, inv_l, z0, K)
 
-            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, ident_l)
+            psi_inv_l = jax.lax.fori_loop(0, inverse_iters, inv_body, inv_init)
 
             wn_e = _halo_exchange_z(wn_l, K, axis)
             wnp_l = _sample_window_local(wn_e, psi_l, z0, K, floor=True)
@@ -474,23 +611,29 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
         tg2_l, wg2_l = fuse_volumes(tg_l, wg_l, tnp_l, wnp_l, max_weight)
         return psi_l, psi_inv_l, tg2_l, wg2_l, iters, mnorm
 
-    def local_step(psi_b, tg_b, wg_b, dists_b, vol2cam_b, intr, voxel_sizes,
-                   trunc, eta, max_weight, taps, alpha, w_reg, max_iter,
-                   thresh):
+    def local_step(psi_b, tg_b, wg_b, dists_b, vol2cam_b, *rest):
+        if warm_inverse:
+            psi_inv0_b = rest[-1]
+            rest = rest[:-1]
+        else:
+            psi_inv0_b = None
         return jax.vmap(
             per_scene,
-            in_axes=(0, 0, 0, 0, 0) + (None,) * 10,
-        )(psi_b, tg_b, wg_b, dists_b, vol2cam_b, intr, voxel_sizes, trunc,
-          eta, max_weight, taps, alpha, w_reg, max_iter, thresh)
+            in_axes=(0, 0, 0, 0, 0, 0 if warm_inverse else None)
+            + (None,) * 10,
+        )(psi_b, tg_b, wg_b, dists_b, vol2cam_b, psi_inv0_b, *rest)
 
+    in_specs = [
+        P("scene", None, "z"), P("scene", "z"), P("scene", "z"),
+        P("scene"), P("scene"),
+        P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+    ]
+    if warm_inverse:
+        in_specs.append(P("scene", None, "z"))
     mapped = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(
-            P("scene", None, "z"), P("scene", "z"), P("scene", "z"),
-            P("scene"), P("scene"),
-            P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(
             P("scene", None, "z"), P("scene", None, "z"),
             P("scene", "z"), P("scene", "z"), P("scene"), P("scene"),

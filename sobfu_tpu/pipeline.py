@@ -42,6 +42,7 @@ from sobfu_tpu.tsdf import TsdfVolume
         "fused_db",
         "taps_static",
         "pyramid_levels",
+        "x_pad_to",
     ),
 )
 def fused_frame_step(
@@ -75,6 +76,7 @@ def fused_frame_step(
     fused_db=False,
     taps_static=None,
     pyramid_levels=1,
+    x_pad_to=0,
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -107,7 +109,7 @@ def fused_frame_step(
             thresh, psi_inv0, levels=pyramid_levels,
             inverse_iters=inverse_iters, warp_window=warp_window,
             momentum=momentum, conv_mxu=conv_mxu, fused_db=fused_db,
-            taps_static=taps_static,
+            taps_static=taps_static, x_pad_to=x_pad_to,
         )
     elif n_chunks:
         res = solver_mod.estimate_psi_chunked(
@@ -122,6 +124,7 @@ def fused_frame_step(
             thresh, psi_inv0, warp_window=warp_window,
             inverse_iters=inverse_iters, momentum=momentum,
             conv_mxu=conv_mxu, fused_db=fused_db, taps_static=taps_static,
+            x_pad_to=x_pad_to,
         )
 
     tg2, wg2 = fuse_volumes(
@@ -242,6 +245,7 @@ class SobFusion:
                     else None
                 ),
                 pyramid_levels=self.solver.pyramid_levels,
+                x_pad_to=self.solver.x_pad_to,
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi

@@ -205,6 +205,7 @@ def sobolev_smooth(
         "warp_pallas",
         "fused_db",
         "db_interpret",
+        "x_pad_to",
     ),
 )
 def estimate_psi(
@@ -233,6 +234,7 @@ def estimate_psi(
     warp_pallas: bool = False,
     fused_db: bool = False,
     db_interpret: bool = False,
+    x_pad_to: int = 0,
 ) -> SolveResult:
     """Run the full warp-field solve for one frame; everything stays on device.
 
@@ -264,6 +266,11 @@ def estimate_psi(
     (:func:`sobfu_tpu.ops.pallas_kernels.fused_gd_iteration_db`) — the
     production TPU hot loop. Requires warp_window and taps_static; supports
     momentum; same numbers as the XLA window path to f32 round-off.
+
+    x_pad_to: lane-pack the fused loop — edge-pad the x (lane) axis of the
+    loop state up to this extent so sub-128 grids (e.g. the reference's own
+    64^3 headline workload) compile under Mosaic; results on real lanes are
+    identical. Only meaningful with fused_db.
     """
     energy0 = jnp.zeros((energy_cap if record_energy else 1, 3), jnp.float32)
 
@@ -313,8 +320,9 @@ def estimate_psi(
 
         assert warp_window is not None, "fused_db requires warp_window"
         assert taps_static is not None, "fused_db requires taps_static"
-        tg_pad_db = pad_for_db(tsdf_global)
-        live_pad_db = pad_for_db(tsdf_n)
+        xl_db = tsdf_n.shape[2] if x_pad_to > tsdf_n.shape[2] else 0
+        tg_pad_db = pad_for_db(tsdf_global, x_pad_to)
+        live_pad_db = pad_for_db(tsdf_n, x_pad_to)
 
     def gd_step(state: SolverState) -> SolverState:
         psi, tsdf_n_psi = state.psi, state.tsdf_n_psi
@@ -335,6 +343,7 @@ def estimate_psi(
                 K=warp_window,
                 momentum=momentum,
                 interpret=db_interpret,
+                x_logical=xl_db,
             )
             psi_new = refresh_padded(psi, psi_c)
             tsdf_new = refresh_padded(tsdf_n_psi, tnp_c)
@@ -380,8 +389,8 @@ def estimate_psi(
 
         energy = state.energy
         if record_energy:
-            psi_e = unpad_db(psi) if fused_db else psi
-            tnp_e = unpad_db(tsdf_n_psi) if fused_db else tsdf_n_psi
+            psi_e = unpad_db(psi, xl_db) if fused_db else psi
+            tnp_e = unpad_db(tsdf_n_psi, xl_db) if fused_db else tsdf_n_psi
             e = jnp.stack(
                 [data_energy(tsdf_global, tnp_e), reg_energy_sobolev(psi_e), mnorm]
             )
@@ -397,15 +406,23 @@ def estimate_psi(
         return (state.iter < max_iter) & (state.max_norm > max_update_norm_thresh)
 
     tsdf_n_psi0 = warp_scalar(tsdf_n, psi)
-    vel0 = jnp.zeros_like(psi) if momentum is not None else jnp.float32(0.0)
-    psi_state = pad_for_db(psi) if fused_db else psi
-    tnp_state = pad_for_db(tsdf_n_psi0) if fused_db else tsdf_n_psi0
+    if momentum is not None:
+        vel_dims = psi.shape
+        if fused_db and xl_db:
+            vel_dims = psi.shape[:-1] + (x_pad_to,)
+        vel0 = jnp.zeros(vel_dims, jnp.float32)
+    else:
+        vel0 = jnp.float32(0.0)
+    psi_state = pad_for_db(psi, x_pad_to) if fused_db else psi
+    tnp_state = pad_for_db(tsdf_n_psi0, x_pad_to) if fused_db else tsdf_n_psi0
     init = SolverState(
         psi_state, tnp_state, jnp.int32(0), jnp.float32(jnp.inf), energy0, vel0
     )
     final = jax.lax.while_loop(cond, gd_step, init)
-    psi_final = unpad_db(final.psi) if fused_db else final.psi
-    tnp_final = unpad_db(final.tsdf_n_psi) if fused_db else final.tsdf_n_psi
+    psi_final = unpad_db(final.psi, xl_db) if fused_db else final.psi
+    tnp_final = (
+        unpad_db(final.tsdf_n_psi, xl_db) if fused_db else final.tsdf_n_psi
+    )
 
     psi_inv = inverse(psi_final, init=psi_inv0)
     tsdf_g_inv = warp_scalar(tsdf_global, psi_inv)
@@ -477,6 +494,7 @@ def estimate_psi_pyramid(
     fused_db: bool = False,
     taps_static: Optional[Tuple[float, ...]] = None,
     db_interpret: bool = False,
+    x_pad_to: int = 0,
 ) -> SolveResult:
     """Coarse-to-fine wrapper around :func:`estimate_psi` (host-level
     orchestration; each level's solve is the usual jitted program).
@@ -515,7 +533,11 @@ def estimate_psi_pyramid(
         tg_c, wg_c, tn_c, wn_c = pyr[lev]
         dims_c = tn_c.shape
         psi_c = fields.identity_field(dims_c) + disp
-        fused_c = fused_db and dims_c[-1] % 128 == 0 and not db_interpret
+        Xc = dims_c[-1]
+        xpt_c = 0 if Xc % 128 == 0 else (
+            ((Xc + 127) // 128) * 128 if Xc >= 64 else -1
+        )
+        fused_c = fused_db and xpt_c >= 0 and not db_interpret
         res_c = estimate_psi(
             psi_c, tg_c, wg_c, tn_c, wn_c, taps, alpha, w_reg,
             coarse_its, max_update_norm_thresh,
@@ -526,6 +548,7 @@ def estimate_psi_pyramid(
             fused_db=fused_c,
             taps_static=taps_static if fused_c else None,
             db_interpret=db_interpret,
+            x_pad_to=max(0, xpt_c) if fused_c else 0,
         )
         total_coarse = total_coarse + res_c.iters
         up_dims = pyr[lev - 1][0].shape
@@ -544,6 +567,7 @@ def estimate_psi_pyramid(
         fused_db=fused_db,
         taps_static=taps_static if fused_db else None,
         db_interpret=db_interpret,
+        x_pad_to=x_pad_to,
     )
     return res._replace(iters=res.iters + total_coarse)
 
@@ -582,6 +606,17 @@ class Solver:
         self.conv_mxu = bool(conv_mxu)
         z_chunks = getattr(params, "z_chunks", None)
         X, Y, Z = params.volume_dims  # volume_dims is (X, Y, Z)
+        # lane packing: Mosaic rejects the fused kernel below 128 lanes, so
+        # sub-128 volumes are edge-padded in x up to 128 (identical results
+        # on real lanes; dead lanes are masked). Worth the 2x lane waste
+        # down to X=64 — the reference's own 64^3 headline workload; below
+        # that the XLA window path is faster than a 4x-padded kernel.
+        if X % 128 == 0:
+            x_pad_to, pack_ok = 0, True
+        elif X >= 64:
+            x_pad_to, pack_ok = ((X + 127) // 128) * 128, True
+        else:
+            x_pad_to, pack_ok = 0, False
         fused = getattr(params, "fused_pallas", None)
         if fused is None:
             # auto: the double-buffered fused kernel is the TPU production
@@ -591,7 +626,7 @@ class Solver:
             # auto).
             from sobfu_tpu.ops.pallas_kernels import _db_tiles
 
-            BZ, TY = _db_tiles(Z, Y, X)
+            BZ, TY = _db_tiles(Z, Y, x_pad_to or X)
             fused = (
                 jax.devices()[0].platform != "cpu"
                 and self.warp_window is not None
@@ -600,12 +635,13 @@ class Solver:
                 and Z % BZ == 0
                 and Y % TY == 0
                 and TY % 8 == 0
-                and X % 128 == 0  # sub-128 lane tiles fail Mosaic compile
+                and pack_ok
                 and z_chunks is None
                 and not self.use_pallas
                 and not self.warp_pallas
             )
         self.fused_pallas = bool(fused)
+        self.x_pad_to = x_pad_to if self.fused_pallas else 0
         if self.fused_pallas and self.warp_window is None:
             # explicit FUSED_PALLAS=1 without WARP_WINDOW: the fused kernel
             # is window-based by construction; use the production default.
@@ -680,6 +716,7 @@ class Solver:
                 conv_mxu=self.conv_mxu,
                 fused_db=self.fused_pallas,
                 taps_static=self.taps_static if self.fused_pallas else None,
+                x_pad_to=self.x_pad_to,
             )
         elif self.z_chunks and not self.use_pallas and not self.fused_pallas:
             # chunked supports momentum + energy recording; use_pallas /
@@ -714,6 +751,7 @@ class Solver:
                 conv_mxu=self.conv_mxu,
                 warp_pallas=self.warp_pallas,
                 fused_db=self.fused_pallas,
+                x_pad_to=self.x_pad_to,
             )
         psi.data = res.psi
         psi_inv.data = res.psi_inv

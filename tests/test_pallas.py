@@ -250,3 +250,81 @@ def test_fused_stacked_iteration_matches_xla(momentum):
     np.testing.assert_allclose(
         float(mx_k), float(jnp.max(jnp.sum(upd * upd, axis=0))), rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("momentum", [None, 0.9])
+def test_fused_db_lane_packed_matches_xla(momentum):
+    """Lane packing (x edge-padded to a Mosaic-compilable extent, logical-X
+    clamping inside the kernel) reproduces the unpadded XLA window step
+    exactly on the real lanes — the path that serves sub-128 grids such as
+    the reference's 64^3 headline workload."""
+    from sobfu_tpu.ops.pallas_kernels import fused_gd_iteration_db, pad_for_db
+
+    dims = (16, 16, 32)
+    XP = 64  # pack 32 lanes -> 64
+    tg, live, psi, tnp = _setup(dims, seed=21)
+    taps = solver.sobolev_filter_1d(7, 0.1)
+    alpha, w_reg = jnp.float32(0.05), jnp.float32(0.2)
+    rng = np.random.default_rng(22)
+    vel = (
+        jnp.asarray(rng.standard_normal((3,) + dims), jnp.float32)
+        if momentum is not None
+        else None
+    )
+    psi_k, tnp_k, vel_k, mx_k = fused_gd_iteration_db(
+        psi, tnp, vel, pad_for_db(tg, XP), pad_for_db(live, XP),
+        alpha, w_reg, tuple(float(t) for t in taps),
+        K=2, BZ=8, TY=16, momentum=momentum, interpret=True, x_pad_to=XP,
+    )
+    grad = fields.tsdf_gradient(tnp)
+    lap = fields.neg_laplacian(psi)
+    dU_S = solver.sobolev_smooth(
+        (tnp - tg)[None] * grad + w_reg * lap, jnp.asarray(taps)
+    )
+    if momentum is not None:
+        vel_r = momentum * vel + dU_S
+        upd = alpha * vel_r
+        np.testing.assert_allclose(
+            np.asarray(vel_k), np.asarray(vel_r), atol=1e-5
+        )
+    else:
+        upd = alpha * dU_S
+    psi_r = psi - upd
+    tnp_r = fields.sample_trilinear_window(live, psi_r, 2)
+    np.testing.assert_allclose(np.asarray(psi_k), np.asarray(psi_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tnp_k), np.asarray(tnp_r), atol=1e-5)
+    # dead-lane updates are masked out of the convergence max
+    np.testing.assert_allclose(
+        float(mx_k), float(jnp.max(jnp.sum(upd * upd, axis=0))), rtol=1e-4
+    )
+
+
+def test_estimate_psi_lane_packed_full_solve():
+    """estimate_psi(x_pad_to=...) == the unpadded XLA window solve across a
+    full while_loop run, convergence norm and tails included."""
+    from sobfu_tpu.tsdf import init_sphere
+
+    dim = 16
+    vs = 1.0 / dim
+    dims = (dim,) * 3
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.2, 8 * vs, 3 * vs)
+    tn, wn = init_sphere(dims, (vs,) * 3, (0.47, 0.5, 0.5), 0.21, 8 * vs, 3 * vs)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    common = (
+        fields.identity_field(dims), tg, wg, tn, wn, taps,
+        jnp.float32(0.05), jnp.float32(0.2), jnp.int32(10), jnp.float32(-1.0),
+    )
+    ref = solver.estimate_psi(*common, warp_window=2, momentum=0.9)
+    packed = solver.estimate_psi(
+        *common, warp_window=2, momentum=0.9,
+        fused_db=True, taps_static=taps_static, db_interpret=True,
+        x_pad_to=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(packed.psi), np.asarray(ref.psi), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(packed.tsdf_n_psi), np.asarray(ref.tsdf_n_psi), atol=2e-5
+    )
+    assert abs(float(packed.max_norm) - float(ref.max_norm)) < 1e-6

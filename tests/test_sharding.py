@@ -219,3 +219,115 @@ def test_sharded_fused_kernel_matches_window_solve():
     np.testing.assert_allclose(
         float(mn_s), float(ref.max_norm), rtol=1e-4
     )
+
+
+def test_sharded_production_config_matches_single_chip():
+    """The PRODUCTION multi-chip configuration — momentum + warm inverse +
+    per-shard fused Pallas iterations (interpret mode on the CPU mesh) —
+    matches the single-chip production solve (VERDICT r2 item 4: the
+    sharded path previously supported plain GD only)."""
+    tg, wg, tn, wn = _scene(1.5 * SIZE / DIM)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    psi = fields.identity_field((DIM, DIM, DIM))
+    args = (jnp.float32(0.1), jnp.float32(0.4), jnp.int32(12), jnp.float32(-1.0))
+
+    ref = solver.estimate_psi(
+        psi, tg, wg, tn, wn, taps, *args, inverse_iters=48, warp_window=2,
+        momentum=0.9,
+    )
+
+    mesh = make_mesh(n_z=4)
+    fn = make_sharded_estimate_psi(
+        mesh, inverse_iters=12, warp_window=2, fused=True,
+        taps_static=taps_static, momentum=0.9, warm_inverse=True,
+    )
+    # warm-start from the reference inverse: 12 iterations must stay at the
+    # cold-48 fixed point
+    psi_s, psi_inv_s, tnp_s, _, _, _, iters_s, mn_s = fn(
+        psi, tg, wg, tn, wn, taps, *args, ref.psi_inv
+    )
+    assert int(iters_s) == 12
+    np.testing.assert_allclose(np.asarray(psi_s), np.asarray(ref.psi), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(tnp_s), np.asarray(ref.tsdf_n_psi), atol=2e-5
+    )
+    np.testing.assert_allclose(float(mn_s), float(ref.max_norm), rtol=1e-4)
+    assert float(jnp.max(jnp.abs(psi_inv_s - ref.psi_inv))) <= 0.05
+
+
+def test_sharded_momentum_matches_single_chip_xla():
+    """Sharded XLA window step with momentum == single-chip momentum solve."""
+    tg, wg, tn, wn = _scene(1.5 * SIZE / DIM)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    psi = fields.identity_field((DIM, DIM, DIM))
+    args = (jnp.float32(0.1), jnp.float32(0.4), jnp.int32(10), jnp.float32(-1.0))
+
+    ref = solver.estimate_psi(
+        psi, tg, wg, tn, wn, taps, *args, inverse_iters=4, warp_window=3,
+        momentum=0.85,
+    )
+    mesh = make_mesh(n_z=8)
+    fn = make_sharded_estimate_psi(
+        mesh, inverse_iters=4, warp_window=3, momentum=0.85
+    )
+    psi_s, _, tnp_s, _, _, _, iters_s, mn_s = fn(
+        psi, tg, wg, tn, wn, taps, *args
+    )
+    assert int(iters_s) == 10
+    np.testing.assert_allclose(np.asarray(psi_s), np.asarray(ref.psi), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(tnp_s), np.asarray(ref.tsdf_n_psi), atol=1e-5
+    )
+    np.testing.assert_allclose(float(mn_s), float(ref.max_norm), rtol=1e-4)
+
+
+def test_sharded_pyramid_reaches_oracle_energy():
+    """Coarse-to-fine on the sharded solve: with a small fine-level budget,
+    pyramid warm-starting must reach at least the energy of the plain
+    sharded solve given the same fine budget (mirror of the single-chip
+    pyramid oracle test)."""
+    tg, wg, tn, wn = _scene(2.0 * SIZE / DIM)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    psi = fields.identity_field((DIM, DIM, DIM))
+    fine_budget = jnp.int32(24)
+    args = (jnp.float32(0.1), jnp.float32(0.3), fine_budget, jnp.float32(-1.0))
+
+    mesh = make_mesh(n_z=4)
+    plain = make_sharded_estimate_psi(
+        mesh, inverse_iters=2, warp_window=3, momentum=0.9
+    )(psi, tg, wg, tn, wn, taps, *args)
+    pyr = make_sharded_estimate_psi(
+        mesh, inverse_iters=2, warp_window=3, momentum=0.9,
+        pyramid_levels=2, coarse_max_iter=48,
+    )(psi, tg, wg, tn, wn, taps, *args)
+
+    e_plain = float(solver.data_energy(tg, plain[2]))
+    e_pyr = float(solver.data_energy(tg, pyr[2]))
+    assert e_pyr <= e_plain * 1.05, (e_pyr, e_plain)
+    assert not np.isnan(np.asarray(pyr[0])).any()
+
+
+def test_sharded_512_lowering_no_all_gather():
+    """512^3 is the multi-chip regime (BASELINE config 4: hat/umbrella).
+    The windowed production solve must LOWER at (512,512,512) over an
+    8-way z-mesh with no all-gather in the stablehlo — per-device memory
+    stays at block + halo (lowering-only: compiling 512^3 CPU code is not
+    CI-viable, the sharding/collective structure is what's asserted)."""
+    mesh = make_mesh(n_z=8)
+    dims = (512, 512, 512)
+    psi = jax.ShapeDtypeStruct((3,) + dims, jnp.float32)
+    vol = jax.ShapeDtypeStruct(dims, jnp.float32)
+    f32 = jax.ShapeDtypeStruct((), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    taps = jax.ShapeDtypeStruct((7,), jnp.float32)
+    args = (psi, vol, vol, vol, vol, taps, f32, f32, i32, f32, psi)
+
+    lowered = make_sharded_estimate_psi(
+        mesh, inverse_iters=12, warp_window=2, momentum=0.9,
+        warm_inverse=True,
+    ).lower(*args)
+    txt = lowered.as_text()
+    assert "all_gather" not in txt and "all-gather" not in txt
+    # halo exchange is present (collective_permute is how ppermute lowers)
+    assert "collective_permute" in txt
