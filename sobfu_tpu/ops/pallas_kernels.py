@@ -217,7 +217,7 @@ def window_warp_pallas(
     vol: jnp.ndarray,  # f32[Z, Y, X] or f32[C, Z, Y, X]
     psi: jnp.ndarray,  # f32[3, Z, Y, X] absolute coords (voxel units)
     K: int = 2,
-    BZ: int = 8,
+    BZ: int = 0,
     TY: int = 0,
     floor: bool = False,
     interpret: bool = False,
@@ -237,11 +237,20 @@ def window_warp_pallas(
     if squeeze:
         vol = vol[None]
     C, Z, Y, X = vol.shape
+    if BZ == 0:
+        # deep z-tiles cut the overlapping-stack read amplification
+        # ((BZ+2K)/BZ): 1.5 at BZ=8 -> 1.125 at BZ=32. The raised Mosaic
+        # vmem budget below makes the bigger scratch legal.
+        BZ = 32
+        while Z % BZ:
+            BZ //= 2
     if TY == 0:
         units = 2 * (2 * K + 1) + 4
-        budget = 128 * 128 * 14  # known-good: K=2 whole-Y tile at X=128
+        # calibrated at BZ=8 (K=2 whole-Y tile at X=128 compiles); the
+        # footprint scales with BZ, so the budget carries a BZ=8 factor
+        budget = 8 * 128 * 128 * 14
         TY = Y
-        while TY > 8 and TY * X * units > budget:
+        while TY > 8 and BZ * TY * X * units > budget:
             TY //= 2
         while Y % TY:
             TY //= 2
@@ -252,6 +261,24 @@ def window_warp_pallas(
         vol, [(0, 0), (K, K), (K, K), (0, 0)], mode="edge"
     )
     vol_t = _stack_overlapping_zy(vol_pad, nz, ny, BZ, TY, K)
+
+    # auto-size the scoped-vmem budget to the actual footprint (pipeline
+    # double buffers the three blocks; the body keeps ~2(2K+1)+4
+    # tile-sized temps + the 2K+1 hoisted lane shifts live)
+    tile_f = (
+        2 * (BZ + 2 * K) * (TY + 2 * K) * X
+        + 2 * 3 * BZ * TY * X
+        + 2 * BZ * TY * X
+        + (2 * (2 * K + 1) + 4) * BZ * TY * X
+        + (2 * K + 1) * BZ * (TY + 2 * K) * X
+    )
+    vmem_mb = min(120, max(32, (4 * tile_f >> 20) + 8))
+    cparams = (
+        {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb << 20)}
+        if not interpret
+        else {}
+    )
 
     out = pl.pallas_call(
         _make_warp_kernel(BZ, TY, Y, X, K, Z, floor),
@@ -273,6 +300,7 @@ def window_warp_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((C, Z, Y, X), jnp.float32),
         interpret=interpret,
+        **cparams,
     )(vol_t, psi)
 
     return out[0] if squeeze else out
@@ -398,7 +426,7 @@ def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles,
 def _gd_tile_compute(
     sp_ref, st_ref, sg_ref, live_slice, vel_at, psi_out, tnp_out, vel_out,
     mx_out, iz, iy, alpha, w_reg, *, BZ, TY, Z, Y, X, K, taps, n_taps, mu,
-    z_base=0, XL=0
+    z_base=0, XL=0, H=_H, live_x=None, xmats=None
 ):
     """Shared per-tile GD-iteration compute (stencils + potential gradient
     + Sobolev convolutions + update + windowed warp + tile max norm).
@@ -424,6 +452,14 @@ def _gd_tile_compute(
     is masked out of the convergence max, and their outputs are garbage the
     caller slices away. Stencil/conv/warp results on lanes < XL are
     IDENTICAL to the unpadded kernel.
+
+    live_x: optional (oz, ox) -> (BZ, TY+2H, X) callback returning the
+    live tile ALREADY x-shifted by ox (pre-shifted live stack) — removes
+    (2K+1)^2 lane-roll+edge-fix passes per tile from the warp.
+    xmats: optional (bx, gx, lx) square (X, X) matrices evaluating the
+    x-axis convolution / central difference / second difference as MXU
+    matmuls (edge clamping and boundary masks folded into the matrix
+    columns) — moves ~120 VPU passes per tile onto the idle MXU.
     """
     R = n_taps // 2
     DZ = BZ + 2 * R
@@ -450,11 +486,22 @@ def _gd_tile_compute(
     my = ((gy > 0) & (gy < Y - 1)).astype(jnp.float32)
     mx = ((gx > 0) & (gx < XL - 1)).astype(jnp.float32)
 
-    o = _H - R  # tile offset of the first dU row
+    o = H - R  # tile offset of the first dU row
+
+    def matx(a, m):
+        """Contract the lane axis of a 3-D tile with an (X, X) matrix on
+        the MXU (leading dims merge for free — no relayout)."""
+        s3 = a.shape
+        return jnp.dot(
+            a.reshape(s3[0] * s3[1], s3[2]), m,
+            preferred_element_type=jnp.float32,
+        ).reshape(s3)
 
     def grad_of(c):
         t_c = st[o:o + DZ, o:o + DY, :]
         if c == 0:
+            if xmats is not None:
+                return matx(t_c, xmats[1])  # masks folded into gx columns
             return (
                 (_shift_x_edge(t_c, 1, XL) - _shift_x_edge(t_c, -1, XL))
                 * 0.5
@@ -474,9 +521,13 @@ def _gd_tile_compute(
     for c in range(3):
         diff = st[o:o + DZ, o:o + DY, :] - sg[o:o + DZ, o:o + DY, :]
         p_c = sp[c, o:o + DZ, o:o + DY, :]
-        lap_x = (
-            _shift_x_edge(p_c, 1, XL) + _shift_x_edge(p_c, -1, XL) - 2.0 * p_c
-        ) * mx
+        if xmats is not None:
+            lap_x = matx(p_c, xmats[2])
+        else:
+            lap_x = (
+                _shift_x_edge(p_c, 1, XL) + _shift_x_edge(p_c, -1, XL)
+                - 2.0 * p_c
+            ) * mx
         lap_y = (
             sp[c, o:o + DZ, o + 1:o + 1 + DY, :]
             + sp[c, o:o + DZ, o - 1:o - 1 + DY, :]
@@ -494,11 +545,14 @@ def _gd_tile_compute(
         # ---- Sobolev smoothing: sum of three 1-D convolutions ----
         # taps flipped (n-1-k): true convolution, as in fused_gd_step
         dU_ctr = dU[R:R + BZ, R:R + TY, :]
-        acc = jnp.zeros((BZ, TY, X), jnp.float32)
-        for k in range(n_taps):
-            acc = acc + taps[n_taps - 1 - k] * _shift_x_edge(
-                dU_ctr, k - R, XL
-            )
+        if xmats is not None:
+            acc = matx(dU_ctr, xmats[0])
+        else:
+            acc = jnp.zeros((BZ, TY, X), jnp.float32)
+            for k in range(n_taps):
+                acc = acc + taps[n_taps - 1 - k] * _shift_x_edge(
+                    dU_ctr, k - R, XL
+                )
         for k in range(n_taps):
             acc = acc + taps[n_taps - 1 - k] * dU[R:R + BZ, k:k + TY, :]
         for k in range(n_taps):
@@ -510,7 +564,7 @@ def _gd_tile_compute(
             upd = alpha * v_new
         else:
             upd = alpha * acc
-        psi_out[c] = sp[c, _H:_H + BZ, _H:_H + TY, :] - upd
+        psi_out[c] = sp[c, H:H + BZ, H:H + TY, :] - upd
         update_sq = upd * upd if update_sq is None else update_sq + upd * upd
 
     if XL < X:  # dead packing lanes must not enter the convergence max
@@ -543,13 +597,16 @@ def _gd_tile_compute(
         # compile below 128 lanes); y offsets statically unrolled on the
         # loaded value; x shifts are static lane rolls
         oz = i - K
-        lz = live_slice(oz)
-        lxz = [_shift_x_edge(lz, ox, XL) for ox in range(-K, K + 1)]
+        if live_x is not None:
+            lxz = [live_x(oz, ox) for ox in range(-K, K + 1)]
+        else:
+            lz = live_slice(oz)
+            lxz = [_shift_x_edge(lz, ox, XL) for ox in range(-K, K + 1)]
         acc_y = jnp.zeros(shape_o, jnp.float32)
         for oy in range(-K, K + 1):
             acc_x = jnp.zeros(shape_o, jnp.float32)
             for ox in range(-K, K + 1):
-                lzy = lxz[ox + K][:, _H + oy:_H + oy + TY, :]
+                lzy = lxz[ox + K][:, H + oy:H + oy + TY, :]
                 acc_x = acc_x + wxs[ox + K] * lzy
             acc_y = acc_y + wys[oy + K] * acc_x
         wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32)))
@@ -566,10 +623,11 @@ def _db_tiles(Z, Y, X):
     Scratch scales with TY*X, so TY shrinks as the lane extent grows
     (measured: BZ=8/TY=32 compiles at X=128 and every larger tile fails
     Mosaic's scoped-vmem check; TY=16 at X=256, TY=8 at X=512)."""
-    BZ = 8
+    BZ = 32  # deep z-tiles cut halo read amplification ((BZ+2H)/BZ);
+    # the auto-sized Mosaic vmem budget makes the bigger scratch legal
     while Z % BZ:  # small local blocks (e.g. z-sharded shards) use fewer rows
         BZ //= 2
-    TY = 32 if X <= 128 else (16 if X <= 256 else 8)
+    TY = 32 if X <= 256 else 16
     while Y % TY:
         TY //= 2
     return BZ, TY
@@ -734,9 +792,30 @@ def fused_gd_iteration_db_padded(
     if mu is not None:
         args.append(vel)
 
+    if not vmem_limit_mb:
+        # auto-size Mosaic's scoped-vmem budget: the manual double-buffered
+        # scratch dominates, plus the output pipeline's blocks and the
+        # kernel body's stack temps (warp weights + dU chains). The default
+        # 16 MB budget rejects the fast deep-z tiles (BZ>=16); v5e VMEM is
+        # 128 MB, so sizing the budget to the actual footprint (+ margin)
+        # is free.
+        halo_tile = (BZ + 2 * _H) * (TY + 2 * _H) * X
+        out_tile = BZ * TY * X
+        scratch_f = 2 * (3 + 3) * halo_tile  # psi(3) + tnp/tg/live, 2 slots
+        if mu is not None:
+            scratch_f += 2 * 3 * out_tile
+        io_f = 2 * (3 + 1 + (3 if mu is not None else 0)) * out_tile
+        R_ = n_taps // 2
+        stack_f = (
+            (2 * (2 * K + 1) + 6) * out_tile
+            + (2 * K + 1) * BZ * (TY + 2 * _H) * X
+            + 4 * (BZ + 2 * R_) * (TY + 2 * R_) * X
+        )
+        need_mb = (4 * (scratch_f + io_f + stack_f) >> 20) + 8
+        vmem_limit_mb = min(120, max(32, need_mb))
     cparams = (
         pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_mb << 20)
-        if vmem_limit_mb
+        if vmem_limit_mb and not interpret
         else None
     )
     outs = pl.pallas_call(
@@ -852,7 +931,7 @@ def fused_gd_step(
 
 
 def estimate_inverse_window_pallas(
-    psi: jnp.ndarray, iters: int = 48, K: int = 2, BZ: int = 8, init=None
+    psi: jnp.ndarray, iters: int = 48, K: int = 2, BZ: int = 0, init=None
 ) -> jnp.ndarray:
     """Fixed-point inverse (vector_fields.cu:111-138 semantics) with each
     displacement interpolation running as the pipelined Pallas window-warp
@@ -1013,6 +1092,537 @@ def fused_gd_iteration_stacked(
         interpret=interpret,
     )(*args)
     if has_vel:
+        psi_new, tnp_new, vel_new, mx_tiles = outs
+    else:
+        psi_new, tnp_new, mx_tiles = outs
+        vel_new = None
+    return psi_new, tnp_new, vel_new, jnp.max(mx_tiles)
+
+
+# ---------------------------------------------------------------------------
+# ping-pong fused GD iteration (V3 state flow: no per-iteration refresh)
+# ---------------------------------------------------------------------------
+#
+# Profiling the double-buffered kernel's production loop at 256^3 shows
+# ~2.5 ms/iter spent OUTSIDE the kernel in refresh_padded: XLA cannot prove
+# the dynamic_update_slice on the loop-carried padded buffer may alias
+# through the pallas custom-call, so it copies the whole 214 MB buffer
+# every iteration. This variant eliminates the refresh entirely: the loop
+# carries ONLY edge-padded arrays with halo _HP = 8 (a sublane multiple),
+# and the kernel WRITES the padded output itself through ANY-memory-space
+# outputs via explicit VMEM->HBM DMAs — center blocks land at offsets
+# (_HP + i*BZ, _HP + j*TY) which are 8-aligned by construction, and
+# boundary tiles additionally write their adjacent halo strips as replicas
+# of their own edge voxels (exactly the data refresh_padded maintained).
+# Input tiles read (BZ+16, TY+16) slices at aligned starts; the compute
+# body is the shared _gd_tile_compute with H=8.
+
+_HP = 8  # ping-pong halo: >= _H and a sublane multiple, so padded-state
+# write offsets stay aligned
+
+
+def pad_for_pp(vol: jnp.ndarray, x_to: int = 0) -> jnp.ndarray:
+    """Edge-pad a volume by the ping-pong halo (+ optional lane packing)."""
+    lead = [(0, 0)] * (vol.ndim - 3)
+    xp = max(0, x_to - vol.shape[-1]) if x_to else 0
+    return jnp.pad(vol, lead + [(_HP, _HP), (_HP, _HP), (0, xp)], mode="edge")
+
+
+def unpad_pp(buf: jnp.ndarray, x_logical: int = 0) -> jnp.ndarray:
+    """Interior of an _HP-edge-padded array (x sliced if lane-packed)."""
+    nd = buf.ndim
+    sl = (Ellipsis, slice(_HP, buf.shape[nd - 3] - _HP),
+          slice(_HP, buf.shape[nd - 2] - _HP),
+          slice(None, x_logical or None))
+    return buf[sl]
+
+
+def stack_live_shifts(live_pad: jnp.ndarray, K: int,
+                      x_logical: int = 0) -> jnp.ndarray:
+    """(Z', Y', X) padded live volume -> (2K+1, Z', Y', X) stack of
+    edge-clamped x-shifts (shift ox at index ox+K). Loop-invariant: built
+    once per solve, so the warp's per-tile lane rolls become direct reads."""
+    XL = x_logical or live_pad.shape[-1]
+    idx_all = np.arange(live_pad.shape[-1])
+    outs = [
+        live_pad[..., np.clip(idx_all + ox, 0, XL - 1)]
+        for ox in range(-K, K + 1)
+    ]
+    return jnp.stack(outs, axis=0)
+
+
+def _x_matrices(taps_static, XP: int, XL: int) -> np.ndarray:
+    """(3, XP, XP) stacked lane-axis operators for the MXU path: Sobolev
+    x-convolution (edge-clamped replicate pad), x central difference and x
+    second difference with the boundary-vanishing masks folded into the
+    output columns. out[.., x] = sum_x' a[.., x'] * M[x', x]."""
+    n = len(taps_static)
+    R = n // 2
+    bx = np.zeros((XP, XP), np.float32)
+    gx = np.zeros((XP, XP), np.float32)
+    lx = np.zeros((XP, XP), np.float32)
+    for x in range(XP):
+        for k in range(n):
+            src_ = min(max(x + k - R, 0), XL - 1)
+            bx[src_, x] += taps_static[n - 1 - k]
+        m = 1.0 if 0 < x < XL - 1 else 0.0
+        gx[min(x + 1, XL - 1), x] += 0.5 * m
+        gx[max(x - 1, 0), x] -= 0.5 * m
+        lx[min(x + 1, XL - 1), x] += m
+        lx[max(x - 1, 0), x] += m
+        lx[x, x] -= 2.0 * m
+    return np.stack([bx, gx, lx])
+
+
+def _make_pp_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, nz, ny, XL,
+                    stacked=False, use_xmats=False):
+    """Ping-pong kernel body: double-buffered input DMA (as _make_db_kernel)
+    + explicit padded-state output DMA with boundary replica strips.
+
+    stacked: the live input is a (2K+1)-stack of pre-x-shifted volumes.
+    use_xmats: an extra (3, X, X) VMEM input carries the lane-axis
+    conv/diff operators evaluated on the MXU."""
+    H = _HP
+    TH = TY + 2 * H
+    BH = BZ + 2 * H
+    has_vel = mu is not None
+    n_tiles = nz * ny
+    NS = 2 * K + 1 if stacked else 1
+
+    def kernel(*refs):
+        refs = list(refs)
+        scal_ref = refs.pop(0)
+        xm_ref = refs.pop(0) if use_xmats else None
+        if has_vel:
+            (psi_ref, tnp_ref, tg_ref, live_ref, vel_ref,
+             psi_out, tnp_out, vel_out, mx_out,
+             s_psi, s_tnp, s_tg, s_live, s_vel, s_po, s_to,
+             s_zs_p, s_zs_t, s_ys_p, s_ys_t, s_cs_p, s_cs_t,
+             in_sems, out_sems) = refs
+        else:
+            (psi_ref, tnp_ref, tg_ref, live_ref,
+             psi_out, tnp_out, mx_out,
+             s_psi, s_tnp, s_tg, s_live, s_po, s_to,
+             s_zs_p, s_zs_t, s_ys_p, s_ys_t, s_cs_p, s_cs_t,
+             in_sems, out_sems) = refs
+            vel_ref = vel_out = s_vel = None
+
+        iz = pl.program_id(0)
+        iy = pl.program_id(1)
+        flat = iz * ny + iy
+        slot = jax.lax.rem(flat, 2)
+        alpha = scal_ref[0]
+        w_reg = scal_ref[1]
+
+        def in_copies(f, s):
+            izf = f // ny
+            iyf = jax.lax.rem(f, ny)
+            zs = izf * BZ
+            ys = iyf * TY
+            cps = [
+                pltpu.make_async_copy(
+                    psi_ref.at[:, pl.ds(zs, BH), pl.ds(ys, TH), :],
+                    s_psi.at[s], in_sems.at[s, 0],
+                ),
+                pltpu.make_async_copy(
+                    tnp_ref.at[pl.ds(zs, BH), pl.ds(ys, TH), :],
+                    s_tnp.at[s], in_sems.at[s, 1],
+                ),
+                pltpu.make_async_copy(
+                    tg_ref.at[pl.ds(zs, BH), pl.ds(ys, TH), :],
+                    s_tg.at[s], in_sems.at[s, 2],
+                ),
+                pltpu.make_async_copy(
+                    (
+                        live_ref.at[:, pl.ds(zs, BH), pl.ds(ys, TH), :]
+                        if stacked
+                        else live_ref.at[pl.ds(zs, BH), pl.ds(ys, TH), :]
+                    ),
+                    s_live.at[s], in_sems.at[s, 3],
+                ),
+            ]
+            if has_vel:
+                cps.append(
+                    pltpu.make_async_copy(
+                        vel_ref.at[:, pl.ds(zs, BZ), pl.ds(ys, TY), :],
+                        s_vel.at[s], in_sems.at[s, 4],
+                    )
+                )
+            return cps
+
+        def out_copies(f, s):
+            """(copy, condition) pairs for tile f's padded-state writes.
+            condition None = unconditional. Strip writes replicate the
+            tile's own edge voxels into the adjacent halo regions —
+            exactly the data refresh_padded maintained."""
+            izf = f // ny
+            iyf = jax.lax.rem(f, ny)
+            zs = izf * BZ
+            ys = iyf * TY
+            zlo, zhi = izf == 0, izf == nz - 1
+            ylo, yhi = iyf == 0, iyf == ny - 1
+            out = [
+                # center blocks (aligned: H + k*8-multiples)
+                (pltpu.make_async_copy(
+                    s_po.at[s],
+                    psi_out.at[:, pl.ds(H + zs, BZ), pl.ds(H + ys, TY), :],
+                    out_sems.at[s, 0]), None),
+                (pltpu.make_async_copy(
+                    s_to.at[s],
+                    tnp_out.at[pl.ds(H + zs, BZ), pl.ds(H + ys, TY), :],
+                    out_sems.at[s, 1]), None),
+                # z halo strips (rows [0,H) / [H+Z, H+Z+H))
+                (pltpu.make_async_copy(
+                    s_zs_p.at[s],
+                    psi_out.at[:, pl.ds(0, H), pl.ds(H + ys, TY), :],
+                    out_sems.at[s, 2]), zlo),
+                (pltpu.make_async_copy(
+                    s_zs_t.at[s],
+                    tnp_out.at[pl.ds(0, H), pl.ds(H + ys, TY), :],
+                    out_sems.at[s, 3]), zlo),
+                (pltpu.make_async_copy(
+                    s_zs_p.at[s],
+                    psi_out.at[:, pl.ds(H + Z, H), pl.ds(H + ys, TY), :],
+                    out_sems.at[s, 2]), zhi),
+                (pltpu.make_async_copy(
+                    s_zs_t.at[s],
+                    tnp_out.at[pl.ds(H + Z, H), pl.ds(H + ys, TY), :],
+                    out_sems.at[s, 3]), zhi),
+                # y halo strips (cols [0,H) / [H+Y, H+Y+H))
+                (pltpu.make_async_copy(
+                    s_ys_p.at[s],
+                    psi_out.at[:, pl.ds(H + zs, BZ), pl.ds(0, H), :],
+                    out_sems.at[s, 4]), ylo),
+                (pltpu.make_async_copy(
+                    s_ys_t.at[s],
+                    tnp_out.at[pl.ds(H + zs, BZ), pl.ds(0, H), :],
+                    out_sems.at[s, 5]), ylo),
+                (pltpu.make_async_copy(
+                    s_ys_p.at[s],
+                    psi_out.at[:, pl.ds(H + zs, BZ), pl.ds(H + Y, H), :],
+                    out_sems.at[s, 4]), yhi),
+                (pltpu.make_async_copy(
+                    s_ys_t.at[s],
+                    tnp_out.at[pl.ds(H + zs, BZ), pl.ds(H + Y, H), :],
+                    out_sems.at[s, 5]), yhi),
+                # corner blocks (z-halo x y-halo regions)
+                (pltpu.make_async_copy(
+                    s_cs_p.at[s],
+                    psi_out.at[:, pl.ds(0, H), pl.ds(0, H), :],
+                    out_sems.at[s, 6]), zlo & ylo),
+                (pltpu.make_async_copy(
+                    s_cs_t.at[s],
+                    tnp_out.at[pl.ds(0, H), pl.ds(0, H), :],
+                    out_sems.at[s, 7]), zlo & ylo),
+                (pltpu.make_async_copy(
+                    s_cs_p.at[s],
+                    psi_out.at[:, pl.ds(0, H), pl.ds(H + Y, H), :],
+                    out_sems.at[s, 6]), zlo & yhi),
+                (pltpu.make_async_copy(
+                    s_cs_t.at[s],
+                    tnp_out.at[pl.ds(0, H), pl.ds(H + Y, H), :],
+                    out_sems.at[s, 7]), zlo & yhi),
+                (pltpu.make_async_copy(
+                    s_cs_p.at[s],
+                    psi_out.at[:, pl.ds(H + Z, H), pl.ds(0, H), :],
+                    out_sems.at[s, 6]), zhi & ylo),
+                (pltpu.make_async_copy(
+                    s_cs_t.at[s],
+                    tnp_out.at[pl.ds(H + Z, H), pl.ds(0, H), :],
+                    out_sems.at[s, 7]), zhi & ylo),
+                (pltpu.make_async_copy(
+                    s_cs_p.at[s],
+                    psi_out.at[:, pl.ds(H + Z, H), pl.ds(H + Y, H), :],
+                    out_sems.at[s, 6]), zhi & yhi),
+                (pltpu.make_async_copy(
+                    s_cs_t.at[s],
+                    tnp_out.at[pl.ds(H + Z, H), pl.ds(H + Y, H), :],
+                    out_sems.at[s, 7]), zhi & yhi),
+            ]
+            if has_vel:
+                pass  # vel rides the standard output pipeline
+            return out
+
+        def start_out(f, s):
+            for cp, cond in out_copies(f, s):
+                if cond is None:
+                    cp.start()
+                else:
+                    @pl.when(cond)
+                    def _(cp=cp):
+                        cp.start()
+
+        def wait_out(f, s):
+            for cp, cond in out_copies(f, s):
+                if cond is None:
+                    cp.wait()
+                else:
+                    @pl.when(cond)
+                    def _(cp=cp):
+                        cp.wait()
+
+        # ---- input double buffering (as in the db kernel) ----
+        @pl.when(flat == 0)
+        def _():
+            for c in in_copies(0, 0):
+                c.start()
+
+        @pl.when(flat + 1 < n_tiles)
+        def _():
+            for c in in_copies(flat + 1, 1 - slot):
+                c.start()
+
+        for c in in_copies(flat, slot):
+            c.wait()
+
+        # before computing into output slot `slot`, its previous user's
+        # DMAs (tile flat-2) must have drained
+        @pl.when(flat >= 2)
+        def _():
+            wait_out(flat - 2, slot)
+
+        xm = (xm_ref[0], xm_ref[1], xm_ref[2]) if use_xmats else None
+        _gd_tile_compute(
+            s_psi.at[slot], s_tnp.at[slot], s_tg.at[slot],
+            (
+                None if stacked
+                else (lambda oz: s_live[slot, pl.ds(H + oz, BZ), :, :])
+            ),
+            (lambda c: s_vel[slot, c]) if has_vel else None,
+            s_po.at[slot], s_to.at[slot],
+            vel_out if has_vel else None, mx_out,
+            iz, iy, alpha, w_reg,
+            BZ=BZ, TY=TY, Z=Z, Y=Y, X=X, K=K, taps=taps, n_taps=n_taps,
+            mu=mu, XL=XL, H=H,
+            live_x=(
+                (lambda oz, ox: s_live[slot, ox + K, pl.ds(H + oz, BZ), :, :])
+                if stacked
+                else None
+            ),
+            xmats=xm,
+        )
+
+        # ---- boundary replica strips from the freshly computed center ----
+        zlo, zhi = iz == 0, iz == nz - 1
+        ylo, yhi = iy == 0, iy == ny - 1
+
+        @pl.when(zlo)
+        def _():
+            row_p = s_po[slot, :, 0:1, :, :]
+            row_t = s_to[slot, 0:1, :, :]
+            s_zs_p[slot] = jnp.broadcast_to(row_p, (3, H, TY, X))
+            s_zs_t[slot] = jnp.broadcast_to(row_t, (H, TY, X))
+
+        @pl.when(zhi)
+        def _():
+            row_p = s_po[slot, :, BZ - 1:BZ, :, :]
+            row_t = s_to[slot, BZ - 1:BZ, :, :]
+            s_zs_p[slot] = jnp.broadcast_to(row_p, (3, H, TY, X))
+            s_zs_t[slot] = jnp.broadcast_to(row_t, (H, TY, X))
+
+        @pl.when(ylo)
+        def _():
+            col_p = s_po[slot, :, :, 0:1, :]
+            col_t = s_to[slot, :, 0:1, :]
+            s_ys_p[slot] = jnp.broadcast_to(col_p, (3, BZ, H, X))
+            s_ys_t[slot] = jnp.broadcast_to(col_t, (BZ, H, X))
+
+        @pl.when(yhi)
+        def _():
+            col_p = s_po[slot, :, :, TY - 1:TY, :]
+            col_t = s_to[slot, :, TY - 1:TY, :]
+            s_ys_p[slot] = jnp.broadcast_to(col_p, (3, BZ, H, X))
+            s_ys_t[slot] = jnp.broadcast_to(col_t, (BZ, H, X))
+
+        @pl.when((zlo | zhi) & (ylo | yhi))
+        def _():
+            zi = jnp.where(zlo, 0, BZ - 1)
+            yi = jnp.where(ylo, 0, TY - 1)
+            # corner voxel: dynamic z (major) + the y pick via the already
+            # built y-strip (static sublane index 0 of the H-wide strip)
+            del yi  # the y side is already baked into the y-strip
+            crn_p = s_ys_p[slot, :, pl.ds(zi, 1), 0:1, :]
+            crn_t = s_ys_t[slot, pl.ds(zi, 1), 0:1, :]
+            s_cs_p[slot] = jnp.broadcast_to(crn_p, (3, H, H, X))
+            s_cs_t[slot] = jnp.broadcast_to(crn_t, (H, H, X))
+
+        start_out(flat, slot)
+
+        # drain everything at the end (tiles flat-1 and flat)
+        @pl.when(flat == n_tiles - 1)
+        def _():
+            wait_out(flat, slot)
+            if n_tiles >= 2:
+                wait_out(flat - 1, 1 - slot)
+
+    return kernel
+
+
+def fused_gd_iteration_pp(
+    psi_pad: jnp.ndarray,  # f32[3, Z+2*_HP, Y+2*_HP, X] (pad_for_pp)
+    tnp_pad: jnp.ndarray,  # f32[Z+2*_HP, Y+2*_HP, X]
+    vel,  # f32[3, Z, Y, X] or None
+    tg_pad: jnp.ndarray,  # loop-invariant, pad_for_pp
+    live_pad: jnp.ndarray,  # loop-invariant, pad_for_pp
+    alpha: jnp.ndarray,
+    w_reg: jnp.ndarray,
+    taps_static: Tuple[float, ...],
+    *,
+    K: int = 2,
+    BZ: int = 0,
+    TY: int = 0,
+    momentum=None,
+    interpret: bool = False,
+    x_logical: int = 0,
+    vmem_limit_mb: int = 0,
+    use_xmats: bool = False,
+):
+    """One fused solver iteration with PING-PONG padded state: returns
+    (psi_pad', tnp_pad', vel', max||update||^2) where the padded outputs are
+    ready to feed straight back in — no refresh step. Numerics identical to
+    :func:`fused_gd_iteration_db_padded` + :func:`refresh_padded` (MXU
+    x-operators reassociate lane sums — f32 round-off level).
+
+    live_pad may be either the (Z', Y', X) padded live volume or the
+    (2K+1, Z', Y', X) pre-shifted stack from :func:`stack_live_shifts`.
+    use_xmats: evaluate the x-axis convolution/stencils as MXU matmuls.
+    BOTH measured SLOWER than the plain VPU body on v5e at 128^3/256^3
+    (head-to-head device traces 2026-08-17: plain 0.63 ms/iter, +23%
+    xmats, +26% stack — the f32 banded matmul wastes X/s of its FLOPs and
+    the stack adds ~70% live DMA) — kept as measured options, off by
+    default.
+    """
+    H = _HP
+    stacked = live_pad.ndim == 4
+    Z, Y, X = (
+        tnp_pad.shape[0] - 2 * H,
+        tnp_pad.shape[1] - 2 * H,
+        tnp_pad.shape[2],
+    )
+    if not BZ or not TY:
+        dBZ, dTY = _db_tiles(Z, Y, X)
+        BZ = BZ or dBZ
+        TY = TY or dTY
+    n_taps = len(taps_static)
+    assert n_taps % 2 == 1 and n_taps <= 2 * _H - 1
+    assert 1 <= K <= _H, f"window K={K} must fit the compute halo {_H}"
+    assert Z % BZ == 0 and Y % TY == 0 and TY % 8 == 0, (Z, BZ, Y, TY)
+    assert tg_pad.shape == (Z + 2 * H, Y + 2 * H, X)
+
+    nz, ny = Z // BZ, Y // TY
+    # the lo/hi edge strips of one axis share scratch+semaphores; a tile
+    # that is BOTH (single-tile axis) would race its own strip DMA
+    assert nz >= 2 and ny >= 2, (
+        f"ping-pong kernel needs >= 2 tiles per axis (nz={nz}, ny={ny}); "
+        "use fused_gd_iteration_db_padded for single-tile grids"
+    )
+    grid = (nz, ny)
+    mu = float(momentum) if momentum is not None else None
+    kernel = _make_pp_kernel(
+        BZ, TY, Z, Y, X, K, taps_static, n_taps, mu, nz, ny, x_logical,
+        stacked=stacked, use_xmats=use_xmats,
+    )
+
+    TH = TY + 2 * H
+    BH = BZ + 2 * H
+    NS = 2 * K + 1 if stacked else 1
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if use_xmats:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    in_specs += [
+        pl.BlockSpec(memory_space=pl.ANY)
+    ] * (5 if mu is not None else 4)
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # psi_pad'
+        pl.BlockSpec(memory_space=pl.ANY),  # tnp_pad'
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((3, Z + 2 * H, Y + 2 * H, X), jnp.float32),
+        jax.ShapeDtypeStruct((Z + 2 * H, Y + 2 * H, X), jnp.float32),
+    ]
+    if mu is not None:
+        out_specs.append(
+            pl.BlockSpec(
+                (3, BZ, TY, X), lambda i, j: (0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32))
+    out_specs.append(
+        pl.BlockSpec(
+            (1, 1, 8, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        )
+    )
+    out_shapes.append(jax.ShapeDtypeStruct(grid + (8, 128), jnp.float32))
+
+    scratch = [
+        pltpu.VMEM((2, 3, BH, TH, X), jnp.float32),  # s_psi
+        pltpu.VMEM((2, BH, TH, X), jnp.float32),  # s_tnp
+        pltpu.VMEM((2, BH, TH, X), jnp.float32),  # s_tg
+        pltpu.VMEM(
+            (2, NS, BH, TH, X) if stacked else (2, BH, TH, X), jnp.float32
+        ),  # s_live
+    ]
+    n_in = 4
+    if mu is not None:
+        scratch.append(pltpu.VMEM((2, 3, BZ, TY, X), jnp.float32))  # s_vel
+        n_in = 5
+    scratch += [
+        pltpu.VMEM((2, 3, BZ, TY, X), jnp.float32),  # s_po
+        pltpu.VMEM((2, BZ, TY, X), jnp.float32),  # s_to
+        pltpu.VMEM((2, 3, H, TY, X), jnp.float32),  # s_zs_p
+        pltpu.VMEM((2, H, TY, X), jnp.float32),  # s_zs_t
+        pltpu.VMEM((2, 3, BZ, H, X), jnp.float32),  # s_ys_p
+        pltpu.VMEM((2, BZ, H, X), jnp.float32),  # s_ys_t
+        pltpu.VMEM((2, 3, H, H, X), jnp.float32),  # s_cs_p
+        pltpu.VMEM((2, H, H, X), jnp.float32),  # s_cs_t
+        pltpu.SemaphoreType.DMA((2, n_in)),  # in_sems
+        pltpu.SemaphoreType.DMA((2, 8)),  # out_sems
+    ]
+
+    if not vmem_limit_mb:
+        halo_tile = BH * TH * X
+        out_tile = BZ * TY * X
+        scratch_f = 2 * (5 + NS) * halo_tile + 2 * 5 * out_tile
+        if mu is not None:
+            scratch_f += 2 * 6 * out_tile
+        R_ = n_taps // 2
+        stack_f = (
+            (2 * (2 * K + 1) + 6) * out_tile
+            + (2 * K + 1) * BZ * TH * X
+            + 4 * (BZ + 2 * R_) * (TY + 2 * R_) * X
+        )
+        need_mb = (4 * (scratch_f + stack_f) >> 20) + 8
+        vmem_limit_mb = min(120, max(32, need_mb))
+    cparams = (
+        pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_mb << 20)
+        if not interpret
+        else None
+    )
+
+    scal = jnp.stack([alpha.astype(jnp.float32), w_reg.astype(jnp.float32)])
+    args = [scal]
+    if use_xmats:
+        args.append(
+            jnp.asarray(_x_matrices(taps_static, X, x_logical or X))
+        )
+    args += [psi_pad, tnp_pad, tg_pad, live_pad]
+    if mu is not None:
+        args.append(vel)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **({"compiler_params": cparams} if cparams else {}),
+    )(*args)
+
+    if mu is not None:
         psi_new, tnp_new, vel_new, mx_tiles = outs
     else:
         psi_new, tnp_new, mx_tiles = outs

@@ -312,22 +312,56 @@ def estimate_psi(
 
     if fused_db:
         from sobfu_tpu.ops.pallas_kernels import (
+            _db_tiles,
             fused_gd_iteration_db_padded,
+            fused_gd_iteration_pp,
             pad_for_db,
+            pad_for_pp,
             refresh_padded,
             unpad_db,
+            unpad_pp,
         )
 
         assert warp_window is not None, "fused_db requires warp_window"
         assert taps_static is not None, "fused_db requires taps_static"
         xl_db = tsdf_n.shape[2] if x_pad_to > tsdf_n.shape[2] else 0
-        tg_pad_db = pad_for_db(tsdf_global, x_pad_to)
-        live_pad_db = pad_for_db(tsdf_n, x_pad_to)
+        # ping-pong variant: the kernel writes the padded state itself
+        # (no per-iteration refresh copies) — needs >= 2 tiles per axis
+        Zd, Yd = tsdf_n.shape[0], tsdf_n.shape[1]
+        _bz, _ty = _db_tiles(Zd, Yd, x_pad_to or tsdf_n.shape[2])
+        use_pp = Zd // _bz >= 2 and Yd // _ty >= 2
+        if use_pp:
+            tg_pad_db = pad_for_pp(tsdf_global, x_pad_to)
+            live_pad_db = pad_for_pp(tsdf_n, x_pad_to)
+        else:
+            tg_pad_db = pad_for_db(tsdf_global, x_pad_to)
+            live_pad_db = pad_for_db(tsdf_n, x_pad_to)
+        pad_st = pad_for_pp if use_pp else pad_for_db
+        unpad_st = unpad_pp if use_pp else unpad_db
 
     def gd_step(state: SolverState) -> SolverState:
         psi, tsdf_n_psi = state.psi, state.tsdf_n_psi
 
-        if fused_db:
+        if fused_db and use_pp:
+            # padded ping-pong state: kernel outputs feed straight back in
+            psi_new, tsdf_new, vel_new, mx_sq = fused_gd_iteration_pp(
+                psi,
+                tsdf_n_psi,
+                state.vel if momentum is not None else None,
+                tg_pad_db,
+                live_pad_db,
+                alpha,
+                w_reg,
+                taps_static,
+                K=warp_window,
+                momentum=momentum,
+                interpret=db_interpret,
+                x_logical=xl_db,
+            )
+            if momentum is None:
+                vel_new = state.vel
+            mnorm = jnp.sqrt(mx_sq)
+        elif fused_db:
             # state.psi / state.tsdf_n_psi carry the EDGE-PADDED arrays in
             # this branch (refresh_padded updates them in place — cheaper
             # than a full jnp.pad per iteration)
@@ -389,8 +423,8 @@ def estimate_psi(
 
         energy = state.energy
         if record_energy:
-            psi_e = unpad_db(psi, xl_db) if fused_db else psi
-            tnp_e = unpad_db(tsdf_n_psi, xl_db) if fused_db else tsdf_n_psi
+            psi_e = unpad_st(psi, xl_db) if fused_db else psi
+            tnp_e = unpad_st(tsdf_n_psi, xl_db) if fused_db else tsdf_n_psi
             e = jnp.stack(
                 [data_energy(tsdf_global, tnp_e), reg_energy_sobolev(psi_e), mnorm]
             )
@@ -413,15 +447,15 @@ def estimate_psi(
         vel0 = jnp.zeros(vel_dims, jnp.float32)
     else:
         vel0 = jnp.float32(0.0)
-    psi_state = pad_for_db(psi, x_pad_to) if fused_db else psi
-    tnp_state = pad_for_db(tsdf_n_psi0, x_pad_to) if fused_db else tsdf_n_psi0
+    psi_state = pad_st(psi, x_pad_to) if fused_db else psi
+    tnp_state = pad_st(tsdf_n_psi0, x_pad_to) if fused_db else tsdf_n_psi0
     init = SolverState(
         psi_state, tnp_state, jnp.int32(0), jnp.float32(jnp.inf), energy0, vel0
     )
     final = jax.lax.while_loop(cond, gd_step, init)
-    psi_final = unpad_db(final.psi, xl_db) if fused_db else final.psi
+    psi_final = unpad_st(final.psi, xl_db) if fused_db else final.psi
     tnp_final = (
-        unpad_db(final.tsdf_n_psi, xl_db) if fused_db else final.tsdf_n_psi
+        unpad_st(final.tsdf_n_psi, xl_db) if fused_db else final.tsdf_n_psi
     )
 
     psi_inv = inverse(psi_final, init=psi_inv0)
@@ -698,10 +732,14 @@ class Solver:
                 *common,
                 psi_inv.data if self.incremental_inverse else None,
                 warp_window=self.warp_window or 2,
-                n_chunks=self.z_chunks,
+                n_chunks=0 if self.fused_pallas else self.z_chunks,
                 record_energy=record,
                 energy_cap=p.max_iter if record else 0,
                 conv_mxu=self.conv_mxu,
+                momentum=self.momentum,
+                fused_db=self.fused_pallas,
+                taps_static=self.taps_static if self.fused_pallas else None,
+                x_pad_to=self.x_pad_to,
             )
         elif self.pyramid_levels > 1:
             res = estimate_psi_pyramid(
@@ -793,6 +831,7 @@ class Solver:
     static_argnames=(
         "inverse_iters", "warp_window", "n_chunks", "record_energy",
         "energy_cap", "conv_mxu", "inv_window_iters", "inv_refine_iters",
+        "momentum", "fused_db", "taps_static", "db_interpret", "x_pad_to",
     ),
 )
 def estimate_psi_compositive(
@@ -816,6 +855,11 @@ def estimate_psi_compositive(
     conv_mxu: bool = False,
     inv_window_iters: int = 16,
     inv_refine_iters: int = 2,
+    momentum: Optional[float] = None,
+    fused_db: bool = False,
+    taps_static: Optional[Tuple[float, ...]] = None,
+    db_interpret: bool = False,
+    x_pad_to: int = 0,
 ) -> SolveResult:
     """Compositive-update solve: UNBOUNDED total deformation at window speed.
 
@@ -848,6 +892,15 @@ def estimate_psi_compositive(
     anchored by ``inv_refine_iters`` exact fixed-point steps against the
     composed field to stop interpolation drift accumulating across frames.
     3 exact gathers instead of 48.
+
+    fused_db: run the increment loop as the SAME fused double-buffered
+    Pallas kernel as the additive production mode — valid because the
+    kernel operates on absolute coordinates: feeding it psi = id + delta
+    and live = T0 makes its Laplacian exactly L(delta) (the identity's
+    masked second differences vanish) and its windowed warp exactly the
+    increment warp. Supports momentum and lane packing (x_pad_to); the
+    increment is window-bounded by construction, so the fused kernel's K
+    bound always holds in this mode.
 
     Returns a :class:`SolveResult` for the composed total field.
     """
@@ -898,51 +951,141 @@ def estimate_psi_compositive(
             energy=inner.energy,
         )
 
+    if fused_db:
+        from sobfu_tpu.ops.pallas_kernels import (
+            _db_tiles,
+            fused_gd_iteration_db_padded,
+            fused_gd_iteration_pp,
+            pad_for_db,
+            pad_for_pp,
+            refresh_padded,
+            unpad_db,
+            unpad_pp,
+        )
+
+        assert taps_static is not None, "fused_db requires taps_static"
+        xl_db = tsdf_n.shape[2] if x_pad_to > tsdf_n.shape[2] else 0
+        Zd, Yd = tsdf_n.shape[0], tsdf_n.shape[1]
+        _bz, _ty = _db_tiles(Zd, Yd, x_pad_to or tsdf_n.shape[2])
+        use_pp = Zd // _bz >= 2 and Yd // _ty >= 2
+        if use_pp:
+            tg_pad_db = pad_for_pp(tsdf_global, x_pad_to)
+            t0_pad_db = pad_for_pp(t0, x_pad_to)
+        else:
+            tg_pad_db = pad_for_db(tsdf_global, x_pad_to)
+            t0_pad_db = pad_for_db(t0, x_pad_to)
+        pad_st = pad_for_pp if use_pp else pad_for_db
+        unpad_st = unpad_pp if use_pp else unpad_db
+
     def gd_step(state: SolverState) -> SolverState:
         delta, tnp = state.psi, state.tsdf_n_psi  # 'psi' slot holds delta
 
-        grad = fields.tsdf_gradient(tnp)
-        lap = fields.neg_laplacian(delta)
-        dU = (tnp - tsdf_global)[None] * grad + w_reg * lap
-        dU_S = sobolev_smooth(dU, taps, mxu=conv_mxu)
+        if fused_db:
+            # state carries EDGE-PADDED (id + delta) and tnp; the fused
+            # kernel computes the compositive update verbatim (see the
+            # fused_db note in the docstring)
+            if use_pp:
+                psi_p, tnp_p, vel_new, mx_sq = fused_gd_iteration_pp(
+                    delta,
+                    tnp,
+                    state.vel if momentum is not None else None,
+                    tg_pad_db,
+                    t0_pad_db,
+                    alpha,
+                    w_reg,
+                    taps_static,
+                    K=warp_window,
+                    momentum=momentum,
+                    interpret=db_interpret,
+                    x_logical=xl_db,
+                )
+                delta_new, tnp_new = psi_p, tnp_p
+            else:
+                psi_c, tnp_c, vel_new, mx_sq = fused_gd_iteration_db_padded(
+                    delta,
+                    tnp,
+                    state.vel if momentum is not None else None,
+                    tg_pad_db,
+                    t0_pad_db,
+                    alpha,
+                    w_reg,
+                    taps_static,
+                    K=warp_window,
+                    momentum=momentum,
+                    interpret=db_interpret,
+                    x_logical=xl_db,
+                )
+                delta_new = refresh_padded(delta, psi_c)
+                tnp_new = refresh_padded(tnp, tnp_c)
+            if momentum is None:
+                vel_new = state.vel
+            mnorm = jnp.sqrt(mx_sq)
+        else:
+            grad = fields.tsdf_gradient(tnp)
+            lap = fields.neg_laplacian(delta)
+            dU = (tnp - tsdf_global)[None] * grad + w_reg * lap
+            dU_S = sobolev_smooth(dU, taps, mxu=conv_mxu)
 
-        update = alpha * dU_S
-        delta_new = delta - update
-        tnp_new = fields.sample_trilinear_window(
-            t0, ident + delta_new, max_disp=warp_window
-        )
-
-        mnorm = jnp.sqrt(jnp.max(jnp.sum(update * update, axis=0)))
+            if momentum is not None:
+                vel_new = momentum * state.vel + dU_S
+                update = alpha * vel_new
+            else:
+                vel_new = state.vel
+                update = alpha * dU_S
+            delta_new = delta - update
+            tnp_new = fields.sample_trilinear_window(
+                t0, ident + delta_new, max_disp=warp_window
+            )
+            mnorm = jnp.sqrt(jnp.max(jnp.sum(update * update, axis=0)))
 
         energy = state.energy
         if record_energy:
             # reg term covers the CURRENT increment (delta), not the composed
             # total field — computing the latter would need a full composition
             # per iteration; data term and max-norm match the reference's.
-            J = fields.jacobian(delta)
+            if fused_db:
+                d_e = unpad_st(delta, xl_db) - ident
+                t_e = unpad_st(tnp, xl_db)
+            else:
+                d_e, t_e = delta, tnp
+            J = fields.jacobian(d_e)
             e = jnp.stack(
-                [data_energy(tsdf_global, tnp), 0.5 * jnp.sum(J * J), mnorm]
+                [data_energy(tsdf_global, t_e), 0.5 * jnp.sum(J * J), mnorm]
             )
             energy = jax.lax.dynamic_update_slice(
                 energy, e[None], (jnp.minimum(state.iter, energy_cap - 1), 0)
             )
 
         return SolverState(
-            delta_new, tnp_new, state.iter + 1, mnorm, energy, state.vel
+            delta_new, tnp_new, state.iter + 1, mnorm, energy, vel_new
         )
 
     def cond(state: SolverState) -> jnp.ndarray:
         return (state.iter < max_iter) & (state.max_norm > max_update_norm_thresh)
 
+    if momentum is not None:
+        vel_dims = psi0.shape
+        if fused_db and xl_db:
+            vel_dims = psi0.shape[:-1] + (x_pad_to,)
+        vel0 = jnp.zeros(vel_dims, jnp.float32)
+    else:
+        vel0 = jnp.float32(0.0)
+    # fused state holds id + delta ABSOLUTE coords (edge-padded)
+    delta0 = pad_st(ident, x_pad_to) if fused_db else jnp.zeros_like(psi0)
+    tnp0 = pad_st(t0, x_pad_to) if fused_db else t0
     init = SolverState(
-        jnp.zeros_like(psi0),
-        t0,
+        delta0,
+        tnp0,
         jnp.int32(0),
         jnp.float32(jnp.inf),
         jnp.zeros((energy_cap if record_energy else 1, 3), jnp.float32),
-        jnp.float32(0.0),
+        vel0,
     )
     final = jax.lax.while_loop(cond, gd_step, init)
+    if fused_db:
+        delta_final = unpad_st(final.psi, xl_db) - ident
+        tnp_final = unpad_st(final.tsdf_n_psi, xl_db)
+        final = final._replace(psi=delta_final, tsdf_n_psi=tnp_final)
 
     # compose: psi_new(v) = psi0(v + delta(v))  — one exact field sample
     psi_new = fields.sample_field_trilinear(psi0, ident + final.psi)

@@ -328,3 +328,69 @@ def test_estimate_psi_lane_packed_full_solve():
         np.asarray(packed.tsdf_n_psi), np.asarray(ref.tsdf_n_psi), atol=2e-5
     )
     assert abs(float(packed.max_norm) - float(ref.max_norm)) < 1e-6
+
+
+@pytest.mark.parametrize("momentum", [None, 0.9])
+def test_compositive_fused_matches_xla(momentum):
+    """Compositive mode on the fused kernel (live = T0, psi = id + delta)
+    == the XLA compositive loop, momentum included — the production speed
+    path for unbounded accumulated deformation (round-2 verdict item 8)."""
+    from sobfu_tpu.tsdf import init_sphere
+
+    dim = 16
+    vs = 1.0 / dim
+    dims = (dim,) * 3
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.2, 8 * vs, 3 * vs)
+    tn, wn = init_sphere(dims, (vs,) * 3, (0.46, 0.5, 0.5), 0.21, 8 * vs, 3 * vs)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    # nontrivial accumulated psi0 (compositive solves the increment on top)
+    psi0 = fields.identity_field(dims) + 0.3 * jnp.sin(
+        jnp.linspace(0, 3.0, int(np.prod((3,) + dims))).reshape((3,) + dims)
+    )
+    common = (psi0, tg, wg, tn, wn, taps,
+              jnp.float32(0.05), jnp.float32(0.2),
+              jnp.int32(10), jnp.float32(-1.0))
+    ref = solver.estimate_psi_compositive(
+        *common, warp_window=2, inverse_iters=4, momentum=momentum,
+    )
+    fus = solver.estimate_psi_compositive(
+        *common, warp_window=2, inverse_iters=4, momentum=momentum,
+        fused_db=True, taps_static=taps_static, db_interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(fus.psi), np.asarray(ref.psi), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(fus.tsdf_n_psi), np.asarray(ref.tsdf_n_psi), atol=2e-5
+    )
+    assert abs(float(fus.max_norm) - float(ref.max_norm)) < 1e-6
+    assert int(fus.iters) == int(ref.iters) == 10
+
+
+@pytest.mark.parametrize("momentum", [None, 0.9])
+def test_estimate_psi_pingpong_full_solve(momentum):
+    """estimate_psi's ping-pong fused dispatch (multi-tile grids: the
+    kernel writes the padded loop state itself, no refresh copies) == the
+    XLA window solve over a full while_loop run."""
+    from sobfu_tpu.tsdf import init_sphere
+
+    dims = (32, 64, 32)  # nz=4, ny=2 with auto tiles -> ping-pong path
+    vs = 1.0 / 32
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 1.0, 0.5), 0.3, 8 * vs, 3 * vs)
+    tn, wn = init_sphere(dims, (vs,) * 3, (0.45, 1.0, 0.5), 0.31, 8 * vs, 3 * vs)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    common = (
+        fields.identity_field(dims), tg, wg, tn, wn, taps,
+        jnp.float32(0.05), jnp.float32(0.2), jnp.int32(10), jnp.float32(-1.0),
+    )
+    ref = solver.estimate_psi(*common, warp_window=2, momentum=momentum)
+    pp = solver.estimate_psi(
+        *common, warp_window=2, momentum=momentum,
+        fused_db=True, taps_static=taps_static, db_interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(pp.psi), np.asarray(ref.psi), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(pp.tsdf_n_psi), np.asarray(ref.tsdf_n_psi), atol=2e-5
+    )
+    assert abs(float(pp.max_norm) - float(ref.max_norm)) < 1e-5
+    assert int(pp.iters) == int(ref.iters) == 10

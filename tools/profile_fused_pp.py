@@ -1,11 +1,6 @@
-"""Loop-scaled timing of the production fused GD iteration (double-buffered
-Pallas kernel + padded loop state) on TPU.
+"""Loop-scaled timing of the PING-PONG fused GD iteration on TPU.
 
-Usage: python tools/profile_fused_db.py [dim] [K] [BZ] [TY] [vmem_mb] [mu] [xpad]
-
-Times a fori_loop of fused_gd_iteration_db_padded + refresh_padded —
-exactly the estimate_psi fused_db hot loop — with min-over-pairs to
-mitigate pool contention.
+Usage: python tools/profile_fused_pp.py [dim] [K] [BZ] [TY] [mu] [xpad]
 """
 
 import os
@@ -21,9 +16,9 @@ import numpy as np
 
 from sobfu_tpu import fields, solver
 from sobfu_tpu.ops.pallas_kernels import (
-    fused_gd_iteration_db_padded,
-    pad_for_db,
-    refresh_padded,
+    fused_gd_iteration_pp,
+    pad_for_pp,
+    stack_live_shifts,
 )
 
 
@@ -32,9 +27,8 @@ def main():
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     BZ = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     TY = int(sys.argv[4]) if len(sys.argv) > 4 else 0
-    vmem_mb = int(sys.argv[5]) if len(sys.argv) > 5 else 0
-    mu = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
-    xpad = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+    mu = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
+    xpad = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     momentum = mu if mu > 0 else None
     dims = (dim, dim, dim)
     rng = np.random.default_rng(0)
@@ -46,42 +40,40 @@ def main():
     psi0 = jax.block_until_ready(fields.identity_field(dims) + disp)
     taps = tuple(float(t) for t in solver.sobolev_filter_1d(7, 0.1))
     alpha, w_reg = jnp.float32(1e-6), jnp.float32(0.2)
-    tg_pad = pad_for_db(tg, xpad)
-    live_pad = pad_for_db(live, xpad)
+    stack = int(os.environ.get("PP_STACK", "1"))
+    xmats = int(os.environ.get("PP_XMATS", "1"))
+    tg_pad = pad_for_pp(tg, xpad)
     xl = dim if xpad > dim else 0
+    live_pad = pad_for_pp(live, xpad)
+    if stack:
+        live_pad = stack_live_shifts(live_pad, K, xl)
+    XP = xpad or dim
 
     @jax.jit
     def run(n, psi, tnp):
-        psi_p = pad_for_db(psi, xpad)
-        tnp_p = pad_for_db(tnp, xpad)
+        psi_p = pad_for_pp(psi, xpad)
+        tnp_p = pad_for_pp(tnp, xpad)
         vel0 = (
-            jnp.zeros(psi_p.shape[:-1] + (psi_p.shape[-1],), jnp.float32)[
-                :, 4:-4, 4:-4, :
-            ]
+            jnp.zeros((3, dim, dim, XP), jnp.float32)
             if momentum is not None
             else None
         )
 
         def body(i, carry):
             psi_p, tnp_p, vel = carry
-            psi_c, tnp_c, vel, _ = fused_gd_iteration_db_padded(
+            psi_p, tnp_p, vel, _ = fused_gd_iteration_pp(
                 psi_p, tnp_p, vel, tg_pad, live_pad, alpha, w_reg, taps,
-                K=K, BZ=BZ, TY=TY, momentum=momentum,
-                vmem_limit_mb=vmem_mb, x_logical=xl,
+                K=K, BZ=BZ, TY=TY, momentum=momentum, x_logical=xl,
+                use_xmats=bool(xmats),
             )
-            return refresh_padded(psi_p, psi_c), refresh_padded(tnp_p, tnp_c), vel
+            return psi_p, tnp_p, vel
 
-        out = jax.lax.fori_loop(0, n, body, (psi_p, tnp_p, vel0))
-        return out[0]
+        return jax.lax.fori_loop(0, n, body, (psi_p, tnp_p, vel0))[0]
 
     t0 = time.perf_counter()
     jax.block_until_ready(run(jnp.int32(2), psi0, live))
     print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    # loop scaling with UNBIASED differencing: min over repeats of each
-    # size separately (pair differencing biases low when a stall lands in
-    # the short run), then difference of minima — both approximate the
-    # uncontended time.
     n_lo, n_hi = (4, 20) if dim < 200 else (10, 60)
     lo, hi = np.inf, np.inf
     for _ in range(5):
@@ -95,7 +87,8 @@ def main():
                 hi = min(hi, t)
     best = (hi - lo) / (n_hi - n_lo)
     print(
-        f"dim={dim} K={K} BZ={BZ} TY={TY} vmem={vmem_mb} mu={mu} xpad={xpad}: "
+        f"PP dim={dim} K={K} BZ={BZ} TY={TY} mu={mu} xpad={xpad} "
+        f"stack={stack} xmats={xmats}: "
         f"per-iter {best * 1e3:.3f} ms "
         f"({dim ** 3 / best / 1e9:.2f} Gvoxel-iter/s)",
         flush=True,
