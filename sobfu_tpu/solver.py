@@ -519,6 +519,7 @@ def estimate_psi_pyramid(
     *,
     levels: int = 2,
     coarse_max_iter: Optional[int] = None,
+    coarse_thresh_scale: float = 0.5,
     record_energy: bool = False,
     energy_cap: int = 0,
     inverse_iters: int = 48,
@@ -537,6 +538,13 @@ def estimate_psi_pyramid(
     displacement is downsampled for the coarsest init, and each level's
     result is upsampled (displacement doubled) to warm-start the next.
     Only the finest level runs the inverse-field/tail computations.
+
+    coarse_thresh_scale: convergence-threshold schedule — level L stops at
+    ``thresh * scale^L``. The threshold is in VOXEL units, so the same
+    number at a coarse level is a 2x LOOSER metric criterion per level;
+    the default 0.5 keeps the metric accuracy constant across levels,
+    pushing iterations toward the cheap coarse grids (a coarse iteration
+    costs 8x less per level).
     """
     assert levels >= 1
     dims = tsdf_n.shape
@@ -567,6 +575,9 @@ def estimate_psi_pyramid(
         tg_c, wg_c, tn_c, wn_c = pyr[lev]
         dims_c = tn_c.shape
         psi_c = fields.identity_field(dims_c) + disp
+        thresh_c = max_update_norm_thresh * jnp.float32(
+            coarse_thresh_scale ** lev
+        )
         Xc = dims_c[-1]
         xpt_c = 0 if Xc % 128 == 0 else (
             ((Xc + 127) // 128) * 128 if Xc >= 64 else -1
@@ -574,7 +585,7 @@ def estimate_psi_pyramid(
         fused_c = fused_db and xpt_c >= 0 and not db_interpret
         res_c = estimate_psi(
             psi_c, tg_c, wg_c, tn_c, wn_c, taps, alpha, w_reg,
-            coarse_its, max_update_norm_thresh,
+            coarse_its, thresh_c,
             inverse_iters=1,  # tails discarded at coarse levels
             warp_window=warp_window,
             momentum=momentum,

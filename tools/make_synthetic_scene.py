@@ -43,6 +43,11 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--dim", type=int, default=64, help="voxel grid dims")
+    ap.add_argument(
+        "--production", action="store_true",
+        help="append the production solver keys (momentum, pyramid, "
+        "window 2, convergence threshold) to the generated .ini",
+    )
     args = ap.parse_args(argv)
 
     from PIL import Image
@@ -86,8 +91,20 @@ def main(argv=None):
                     "MAX_ITER=128", "MAX_UPDATE_NORM=1e-4",
                     "S=7", "LAMBDA=0.1", "ALPHA=0.1", "W_REG=0.2",
                     "WARP_WINDOW=4",
-                    "",
                 ]
+                + (
+                    [
+                        # production solver configuration (USAGE.md):
+                        # momentum + 2-level pyramid + window 2 + real
+                        # convergence threshold (last key wins)
+                        "WARP_WINDOW=2", "MOMENTUM=0.9",
+                        "PYRAMID_LEVELS=2", "MAX_ITER=1024",
+                        "MAX_UPDATE_NORM=1e-3",
+                    ]
+                    if args.production
+                    else []
+                )
+                + [""]
             )
         )
     print(f"wrote {args.frames} frames + {ini}")
