@@ -132,6 +132,21 @@ class Params:
     # the previous inverse + exact refinement anchor) instead of 48 exact
     # gathers from identity each frame. None = on (compositive default).
     incremental_inverse: "bool | None" = None
+    # pyramid fine level as a compositive K=FINE_WINDOW increment solve
+    # (typically 1): the coarse levels absorb the bulk motion so the fine
+    # increment is sub-voxel and the fused kernel's warp shrinks from 5^3
+    # to 3^3 taps (~1.7x faster fine iterations). None = additive fine
+    # level (exact reference semantics). Needs PYRAMID_LEVELS >= 2.
+    fine_window: "int | None" = None
+    # data-energy stall detector (solver.estimate_psi docstring): stop when
+    # a STALL_WINDOW-iteration checkpoint improves the data energy by less
+    # than STALL_REL (relative). In warm-started frame sequences the
+    # update-norm criterion plateaus on regulariser drift of the
+    # accumulated field and every frame burns the full iteration cap —
+    # exactly like the reference, whose shipped configs run 2048-8192
+    # iterations at cap. 0 = off (reference stopping semantics).
+    stall_window: int = 0
+    stall_rel: float = 1e-3
 
     def voxel_sizes(self) -> Tuple[float, float, float]:
         return (
@@ -232,6 +247,12 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         p.incremental_inverse = vm["INCREMENTAL_INV"].strip().lower() in (
             "1", "true", "yes",
         )
+    if "FINE_WINDOW" in vm:
+        p.fine_window = int(vm["FINE_WINDOW"])
+    if "STALL_WINDOW" in vm:
+        p.stall_window = int(vm["STALL_WINDOW"])
+    if "STALL_REL" in vm:
+        p.stall_rel = float(vm["STALL_REL"])
 
     vsx = p.voxel_sizes()[0]
     if "TSDF_TRUNC_DIST" in vm:

@@ -148,6 +148,13 @@ class SolverState(NamedTuple):
     energy: jnp.ndarray       # f32[cap, 3]  (e_data, e_reg, max_norm) history
     vel: jnp.ndarray          # f32[3,Z,Y,X] heavy-ball velocity (or scalar 0
                               # when momentum is disabled — no state cost)
+    # data-energy stall detector (TPU extension, see estimate_psi docstring):
+    # e_ref = data energy at the last checkpoint; stalled latches True when
+    # a checkpoint shows no meaningful improvement. Plain python defaults
+    # keep every existing constructor call-site valid (scalars carry no
+    # state cost through the while_loop).
+    e_ref: jnp.ndarray = np.inf
+    stalled: jnp.ndarray = False
 
 
 class SolveResult(NamedTuple):
@@ -206,6 +213,8 @@ def sobolev_smooth(
         "fused_db",
         "db_interpret",
         "x_pad_to",
+        "stall_window",
+        "stall_rel",
     ),
 )
 def estimate_psi(
@@ -235,6 +244,8 @@ def estimate_psi(
     fused_db: bool = False,
     db_interpret: bool = False,
     x_pad_to: int = 0,
+    stall_window: int = 0,
+    stall_rel: float = 1e-3,
 ) -> SolveResult:
     """Run the full warp-field solve for one frame; everything stays on device.
 
@@ -271,6 +282,19 @@ def estimate_psi(
     loop state up to this extent so sub-128 grids (e.g. the reference's own
     64^3 headline workload) compile under Mosaic; results on real lanes are
     identical. Only meaningful with fused_db.
+
+    stall_window / stall_rel: DATA-ENERGY STALL detector (TPU extension;
+    0 = off, exact reference stopping semantics). In warm-started frame
+    sequences the data term converges within ~100-200 iterations while the
+    regulariser keeps diffusing the ACCUMULATED field — the max-update
+    norm then decays ~1/t far above the threshold and every frame burns
+    the full iteration cap (the reference behaves identically: its shipped
+    configs run 2048-8192 iterations at cap, README's 2 fps). With
+    stall_window = N, every N iterations the data energy is measured
+    on-device; once an N-iteration checkpoint improves it by less than
+    ``stall_rel`` (relative), the loop stops: reconstruction quality has
+    converged even though the field is still drifting smoother. Checks
+    start at iteration 2N so momentum transients don't trigger it.
     """
     energy0 = jnp.zeros((energy_cap if record_energy else 1, 3), jnp.float32)
 
@@ -432,12 +456,36 @@ def estimate_psi(
                 energy, e[None], (jnp.minimum(state.iter, energy_cap - 1), 0)
             )
 
+        e_ref, stalled = state.e_ref, state.stalled
+        if stall_window:
+            it1 = state.iter + 1
+
+            def _check(args):
+                e_prev, st = args
+                t_e = unpad_st(tsdf_new, xl_db) if fused_db else tsdf_new
+                e_now = data_energy(tsdf_global, t_e)
+                st_new = st | (
+                    (it1 >= 2 * stall_window)
+                    & (e_prev - e_now < jnp.float32(stall_rel) * jnp.abs(e_now))
+                )
+                return e_now, st_new
+
+            e_ref, stalled = jax.lax.cond(
+                it1 % stall_window == 0, _check, lambda args: args,
+                (e_ref, stalled),
+            )
+
         return SolverState(
-            psi_new, tsdf_new, state.iter + 1, mnorm, energy, vel_new
+            psi_new, tsdf_new, state.iter + 1, mnorm, energy, vel_new,
+            e_ref, stalled,
         )
 
     def cond(state: SolverState) -> jnp.ndarray:
-        return (state.iter < max_iter) & (state.max_norm > max_update_norm_thresh)
+        return (
+            (state.iter < max_iter)
+            & (state.max_norm > max_update_norm_thresh)
+            & jnp.logical_not(state.stalled)
+        )
 
     tsdf_n_psi0 = warp_scalar(tsdf_n, psi)
     if momentum is not None:
@@ -530,6 +578,9 @@ def estimate_psi_pyramid(
     taps_static: Optional[Tuple[float, ...]] = None,
     db_interpret: bool = False,
     x_pad_to: int = 0,
+    fine_window: Optional[int] = None,
+    stall_window: int = 0,
+    stall_rel: float = 1e-3,
 ) -> SolveResult:
     """Coarse-to-fine wrapper around :func:`estimate_psi` (host-level
     orchestration; each level's solve is the usual jitted program).
@@ -545,6 +596,18 @@ def estimate_psi_pyramid(
     the default 0.5 keeps the metric accuracy constant across levels,
     pushing iterations toward the cheap coarse grids (a coarse iteration
     costs 8x less per level).
+
+    fine_window: run the FINE level as a compositive increment solve
+    (:func:`estimate_psi_compositive`) with this warp window — typically 1.
+    The coarse levels absorb the bulk motion, so the fine-level increment
+    is sub-voxel and a K=1 window is exact for it; the fused kernel's
+    in-loop warp then shrinks from (2K+1)^3 = 125 taps to 27, cutting its
+    VPU-bound body nearly 2x. Tails and the T0 warp stay bounded by
+    ``warp_window`` (the full-motion window). The regulariser at the fine
+    level acts on the increment, not the total field — certify configs
+    with the plain-GD energy oracle (bench fps_at_convergence e_ratio).
+    None (default) = additive fine level, exact :func:`estimate_psi`
+    semantics.
     """
     assert levels >= 1
     dims = tsdf_n.shape
@@ -594,26 +657,49 @@ def estimate_psi_pyramid(
             taps_static=taps_static if fused_c else None,
             db_interpret=db_interpret,
             x_pad_to=max(0, xpt_c) if fused_c else 0,
+            stall_window=stall_window,
+            stall_rel=stall_rel,
         )
         total_coarse = total_coarse + res_c.iters
         up_dims = pyr[lev - 1][0].shape
         disp = _resample_disp(res_c.psi - fields.identity_field(dims_c),
                               up_dims, 2.0)
 
-    res = estimate_psi(
-        ident_f + disp, tsdf_global, weight_global, tsdf_n, weight_n,
-        taps, alpha, w_reg, max_iter, max_update_norm_thresh, psi_inv0,
-        record_energy=record_energy,
-        energy_cap=energy_cap,
-        inverse_iters=inverse_iters,
-        warp_window=warp_window,
-        momentum=momentum,
-        conv_mxu=conv_mxu,
-        fused_db=fused_db,
-        taps_static=taps_static if fused_db else None,
-        db_interpret=db_interpret,
-        x_pad_to=x_pad_to,
-    )
+    if fine_window is not None:
+        res = estimate_psi_compositive(
+            ident_f + disp, tsdf_global, weight_global, tsdf_n, weight_n,
+            taps, alpha, w_reg, max_iter, max_update_norm_thresh, psi_inv0,
+            record_energy=record_energy,
+            energy_cap=energy_cap,
+            inverse_iters=inverse_iters,
+            warp_window=fine_window,
+            total_window=warp_window or 2,
+            momentum=momentum,
+            conv_mxu=conv_mxu,
+            fused_db=fused_db,
+            taps_static=taps_static if fused_db else None,
+            db_interpret=db_interpret,
+            x_pad_to=x_pad_to,
+            stall_window=stall_window,
+            stall_rel=stall_rel,
+        )
+    else:
+        res = estimate_psi(
+            ident_f + disp, tsdf_global, weight_global, tsdf_n, weight_n,
+            taps, alpha, w_reg, max_iter, max_update_norm_thresh, psi_inv0,
+            record_energy=record_energy,
+            energy_cap=energy_cap,
+            inverse_iters=inverse_iters,
+            warp_window=warp_window,
+            momentum=momentum,
+            conv_mxu=conv_mxu,
+            fused_db=fused_db,
+            taps_static=taps_static if fused_db else None,
+            db_interpret=db_interpret,
+            x_pad_to=x_pad_to,
+            stall_window=stall_window,
+            stall_rel=stall_rel,
+        )
     return res._replace(iters=res.iters + total_coarse)
 
 
@@ -708,6 +794,9 @@ class Solver:
         self.z_chunks = int(z_chunks)
         # inverse-field warm start (after fused_pallas may have defaulted
         # warp_window): previous frame's inverse + fewer fixed-point steps
+        self.fine_window = getattr(params, "fine_window", None)
+        self.stall_window = int(getattr(params, "stall_window", 0) or 0)
+        self.stall_rel = float(getattr(params, "stall_rel", 1e-3))
         warm = getattr(params, "inverse_warm", None)
         self.inverse_warm = (
             self.warp_window is not None if warm is None else bool(warm)
@@ -751,6 +840,14 @@ class Solver:
                 fused_db=self.fused_pallas,
                 taps_static=self.taps_static if self.fused_pallas else None,
                 x_pad_to=self.x_pad_to,
+                # the stall detector lives in the monolithic/fused increment
+                # loop; the z-chunked delegate does not carry it
+                stall_window=(
+                    self.stall_window
+                    if (self.fused_pallas or not self.z_chunks)
+                    else 0
+                ),
+                stall_rel=self.stall_rel,
             )
         elif self.pyramid_levels > 1:
             res = estimate_psi_pyramid(
@@ -766,6 +863,9 @@ class Solver:
                 fused_db=self.fused_pallas,
                 taps_static=self.taps_static if self.fused_pallas else None,
                 x_pad_to=self.x_pad_to,
+                fine_window=self.fine_window,
+                stall_window=self.stall_window,
+                stall_rel=self.stall_rel,
             )
         elif self.z_chunks and not self.use_pallas and not self.fused_pallas:
             # chunked supports momentum + energy recording; use_pallas /
@@ -801,6 +901,8 @@ class Solver:
                 warp_pallas=self.warp_pallas,
                 fused_db=self.fused_pallas,
                 x_pad_to=self.x_pad_to,
+                stall_window=self.stall_window,
+                stall_rel=self.stall_rel,
             )
         psi.data = res.psi
         psi_inv.data = res.psi_inv
@@ -827,6 +929,13 @@ class Solver:
                 )
             if float(res.max_norm) <= p.max_update_norm:
                 print(f"SOLVER CONVERGED AFTER {iters} ITERATIONS")
+            elif self.stall_window and iters < p.max_iter * max(
+                1, self.pyramid_levels
+            ):
+                print(
+                    f"SOLVER STOPPED ON DATA-ENERGY STALL AFTER {iters} "
+                    "ITERATIONS (update norm still above threshold)"
+                )
             else:
                 print("SOLVER REACHED MAX. NO. OF ITERATIONS WITHOUT CONVERGING")
         return res
@@ -843,6 +952,7 @@ class Solver:
         "inverse_iters", "warp_window", "n_chunks", "record_energy",
         "energy_cap", "conv_mxu", "inv_window_iters", "inv_refine_iters",
         "momentum", "fused_db", "taps_static", "db_interpret", "x_pad_to",
+        "total_window", "stall_window", "stall_rel",
     ),
 )
 def estimate_psi_compositive(
@@ -871,6 +981,9 @@ def estimate_psi_compositive(
     taps_static: Optional[Tuple[float, ...]] = None,
     db_interpret: bool = False,
     x_pad_to: int = 0,
+    total_window: int = 0,
+    stall_window: int = 0,
+    stall_rel: float = 1e-3,
 ) -> SolveResult:
     """Compositive-update solve: UNBOUNDED total deformation at window speed.
 
@@ -913,12 +1026,55 @@ def estimate_psi_compositive(
     increment is window-bounded by construction, so the fused kernel's K
     bound always holds in this mode.
 
+    total_window: when the TOTAL deformation (|psi0 - id| and the composed
+    |psi_new - id|) is known to stay within this many voxels — e.g. as the
+    FINE level of a coarse-to-fine pyramid, where psi0 is the upsampled
+    coarse field of a window-bounded solve — every exact gather in this
+    function (T0 warp, final composition, inverse, tail warps) is replaced
+    by bounded-window samplers: T0/tails at ``total_window``, the
+    composition at ``warp_window`` (the increment bound). With
+    ``warp_window=1`` this is the fastest production configuration: the
+    fused kernel's in-loop warp shrinks from 5^3 to 3^3 taps while the
+    coarse levels supply the bulk motion. 0 (default) keeps the exact
+    gathers (arbitrary accumulated deformation).
+
     Returns a :class:`SolveResult` for the composed total field.
     """
+    assert not (total_window and n_chunks), (
+        "total_window applies to the monolithic/fused increment loop only"
+    )
     dims_zyx = tsdf_n.shape
     ident = fields.identity_field(dims_zyx)
 
+    if total_window and fused_db and not db_interpret:
+        # Mosaic toolchain is up (fused_db) — run the bounded tails through
+        # the pipelined Pallas warp kernel, as the additive path does
+        from sobfu_tpu.ops.pallas_kernels import (
+            estimate_inverse_window_pallas,
+            window_warp_pallas,
+        )
+
+        tw_scalar = functools.partial(window_warp_pallas, K=total_window)
+        tw_floor = functools.partial(
+            window_warp_pallas, K=total_window, floor=True
+        )
+        tw_inverse = functools.partial(
+            estimate_inverse_window_pallas, K=total_window
+        )
+    elif total_window:
+        tw_scalar = functools.partial(
+            fields.sample_trilinear_window, max_disp=total_window
+        )
+        tw_floor = functools.partial(
+            fields.sample_nearest_floor_window, max_disp=total_window
+        )
+        tw_inverse = functools.partial(
+            fields.estimate_inverse_window, max_disp=total_window
+        )
+
     def compose_inverse(psi_new, delta_final):
+        if total_window:
+            return tw_inverse(psi_new, iters=inverse_iters, init=psi_inv0)
         if psi_inv0 is None:
             return fields.estimate_inverse(psi_new, inverse_iters)
         q = fields.estimate_inverse_window(
@@ -932,8 +1088,13 @@ def estimate_psi_compositive(
             inv = ident - fields.sample_field_trilinear(disp_new, inv)
         return inv
 
-    # one exact (gather) warp per frame: T0 = phi_n o psi0
-    t0 = fields.sample_trilinear(tsdf_n, psi0)
+    # one warp per frame: T0 = phi_n o psi0 (exact gather, or windowed when
+    # the total deformation is bounded)
+    t0 = (
+        tw_scalar(tsdf_n, psi0)
+        if total_window
+        else fields.sample_trilinear(tsdf_n, psi0)
+    )
 
     if n_chunks:
         # delegate the increment solve to the z-chunked machinery: from the
@@ -1067,12 +1228,36 @@ def estimate_psi_compositive(
                 energy, e[None], (jnp.minimum(state.iter, energy_cap - 1), 0)
             )
 
+        e_ref, stalled = state.e_ref, state.stalled
+        if stall_window:
+            it1 = state.iter + 1
+
+            def _check(args):
+                e_prev, st = args
+                t_e = unpad_st(tnp_new, xl_db) if fused_db else tnp_new
+                e_now = data_energy(tsdf_global, t_e)
+                st_new = st | (
+                    (it1 >= 2 * stall_window)
+                    & (e_prev - e_now < jnp.float32(stall_rel) * jnp.abs(e_now))
+                )
+                return e_now, st_new
+
+            e_ref, stalled = jax.lax.cond(
+                it1 % stall_window == 0, _check, lambda args: args,
+                (e_ref, stalled),
+            )
+
         return SolverState(
-            delta_new, tnp_new, state.iter + 1, mnorm, energy, vel_new
+            delta_new, tnp_new, state.iter + 1, mnorm, energy, vel_new,
+            e_ref, stalled,
         )
 
     def cond(state: SolverState) -> jnp.ndarray:
-        return (state.iter < max_iter) & (state.max_norm > max_update_norm_thresh)
+        return (
+            (state.iter < max_iter)
+            & (state.max_norm > max_update_norm_thresh)
+            & jnp.logical_not(state.stalled)
+        )
 
     if momentum is not None:
         vel_dims = psi0.shape
@@ -1098,13 +1283,22 @@ def estimate_psi_compositive(
         tnp_final = unpad_st(final.tsdf_n_psi, xl_db)
         final = final._replace(psi=delta_final, tsdf_n_psi=tnp_final)
 
-    # compose: psi_new(v) = psi0(v + delta(v))  — one exact field sample
-    psi_new = fields.sample_field_trilinear(psi0, ident + final.psi)
-
-    psi_inv = compose_inverse(psi_new, final.psi)
-    tsdf_g_inv = fields.sample_trilinear(tsdf_global, psi_inv)
-    weight_g_inv = fields.sample_nearest_floor(weight_global, psi_inv)
-    weight_n_psi = fields.sample_nearest_floor(weight_n, psi_new)
+    # compose: psi_new(v) = psi0(v + delta(v)) — one field sample (exact
+    # gather, or an increment-bounded window sample when total_window is set)
+    if total_window:
+        psi_new = fields.sample_trilinear_window(
+            psi0, ident + final.psi, max_disp=warp_window
+        )
+        psi_inv = compose_inverse(psi_new, final.psi)
+        tsdf_g_inv = tw_scalar(tsdf_global, psi_inv)
+        weight_g_inv = tw_floor(weight_global, psi_inv)
+        weight_n_psi = tw_floor(weight_n, psi_new)
+    else:
+        psi_new = fields.sample_field_trilinear(psi0, ident + final.psi)
+        psi_inv = compose_inverse(psi_new, final.psi)
+        tsdf_g_inv = fields.sample_trilinear(tsdf_global, psi_inv)
+        weight_g_inv = fields.sample_nearest_floor(weight_global, psi_inv)
+        weight_n_psi = fields.sample_nearest_floor(weight_n, psi_new)
 
     return SolveResult(
         psi=psi_new,

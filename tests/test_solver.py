@@ -700,6 +700,111 @@ def test_pyramid_reaches_oracle_energy_with_fewer_fine_iters():
     assert not np.isnan(np.asarray(pyr.psi)).any()
 
 
+def test_stall_detector_stops_on_flat_data_energy():
+    """With an unreachable update-norm threshold, the data-energy stall
+    detector must stop the loop early at (near-)converged data energy;
+    stall_window=0 must preserve exact reference stopping semantics
+    (runs to the cap)."""
+    dim = 32
+    vs = 1.0 / dim
+    dims = (dim,) * 3
+    from sobfu_tpu.tsdf import init_sphere
+
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.20, 8 * vs, 3 * vs)
+    tn, wn = init_sphere(
+        dims, (vs,) * 3, (0.5 - 1.3 * vs, 0.5, 0.5), 0.205, 8 * vs, 3 * vs
+    )
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    common = (
+        fields.identity_field(dims), tg, wg, tn, wn, taps,
+        jnp.float32(0.05), jnp.float32(0.2), jnp.int32(1024),
+        jnp.float32(1e-9),  # unreachable: the norm plateaus on reg drift
+    )
+    ref = solver.estimate_psi(*common, warp_window=2, momentum=0.9)
+    st = solver.estimate_psi(
+        *common, warp_window=2, momentum=0.9, stall_window=32, stall_rel=1e-3
+    )
+    assert int(ref.iters) == 1024  # stall off: reference cap-out semantics
+    assert int(st.iters) < 512
+    e_ref = float(solver.data_energy(tg, ref.tsdf_n_psi))
+    e_st = float(solver.data_energy(tg, st.tsdf_n_psi))
+    assert e_st <= e_ref * 1.02, (e_st, e_ref)
+
+
+def test_compositive_total_window_matches_exact_tails():
+    """With total_window set (all-windowed T0/composition/inverse/tails),
+    a bounded-deformation compositive solve must agree with the exact-
+    gather compositive solve to interpolation round-off."""
+    dim = 24
+    vs = 1.0 / dim
+    dims = (dim,) * 3
+    from sobfu_tpu.tsdf import init_sphere
+
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.2, 8 * vs, 3 * vs)
+    tn, wn = init_sphere(
+        dims, (vs,) * 3, (0.5 - 0.9 * vs, 0.5, 0.5), 0.2, 8 * vs, 3 * vs
+    )
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    # psi0: a smooth bounded warm start (|disp| <= 1 voxel), as the pyramid
+    # fine level would supply
+    ident = fields.identity_field(dims)
+    zz = jnp.linspace(0.0, np.pi, dim)
+    psi0 = ident.at[0].add(0.8 * jnp.sin(zz)[:, None, None])
+    args = (jnp.float32(0.05), jnp.float32(0.2), jnp.int32(32),
+            jnp.float32(-1.0))
+
+    exact = solver.estimate_psi_compositive(
+        psi0, tg, wg, tn, wn, taps, *args, warp_window=1, inverse_iters=16,
+    )
+    windowed = solver.estimate_psi_compositive(
+        psi0, tg, wg, tn, wn, taps, *args, warp_window=1, inverse_iters=16,
+        total_window=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(windowed.psi), np.asarray(exact.psi), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(windowed.tsdf_n_psi), np.asarray(exact.tsdf_n_psi),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(windowed.psi_inv), np.asarray(exact.psi_inv), atol=5e-3
+    )
+
+
+def test_pyramid_fine_window_reaches_oracle_energy():
+    """Production-plus mode: pyramid + momentum with the K=1 compositive
+    fine level (fine_window=1) must reach at least the data energy plain
+    full-resolution GD reaches at its own convergence point."""
+    dim = 32
+    vs = 1.0 / dim
+    dims = (dim,) * 3
+    from sobfu_tpu.tsdf import init_sphere
+
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.20, 8 * vs, 3 * vs)
+    tn, wn = init_sphere(
+        dims, (vs,) * 3, (0.5 - 1.3 * vs, 0.5, 0.5), 0.205, 8 * vs, 3 * vs
+    )
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    common = (
+        fields.identity_field(dims), tg, wg, tn, wn, taps,
+        jnp.float32(0.05), jnp.float32(0.2), jnp.int32(512), jnp.float32(1e-3),
+    )
+    gd = solver.estimate_psi(*common, warp_window=2)
+    pyr = solver.estimate_psi_pyramid(
+        *common, levels=2, warp_window=2, momentum=0.9, fine_window=1
+    )
+    e_gd = float(solver.data_energy(tg, gd.tsdf_n_psi))
+    e_pyr = float(solver.data_energy(tg, pyr.tsdf_n_psi))
+    assert e_pyr <= e_gd * 1.05, (e_pyr, e_gd)
+    assert not np.isnan(np.asarray(pyr.psi)).any()
+    # the composed inverse must actually invert: psi(psi_inv(v)) ~ v
+    comp = fields.sample_field_trilinear(pyr.psi, pyr.psi_inv)
+    ident = fields.identity_field(dims)
+    interior = (slice(None),) + (slice(4, -4),) * 3
+    assert float(jnp.max(jnp.abs(comp[interior] - ident[interior]))) <= 0.1
+
+
 def test_pyramid_solver_dispatch():
     """PYRAMID_LEVELS knob: honored when dims halve evenly, dropped
     otherwise."""

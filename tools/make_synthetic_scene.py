@@ -59,9 +59,18 @@ def main(argv=None):
     os.makedirs(os.path.join(args.out, "depth"), exist_ok=True)
     os.makedirs(os.path.join(args.out, "color"), exist_ok=True)
 
+    # translation amplitude: the production config uses WARP_WINDOW=2,
+    # which bounds the ACCUMULATED deformation the windowed warp can
+    # represent — so the sphere's peak excursion must stay under ~1.8
+    # voxels at the configured grid (a fixed 0.02 m is ~6 voxels at 128^3:
+    # the window saturates mid-sequence and those frames cannot converge)
+    amp = 0.02
+    if args.production:
+        amp = min(amp, 1.8 * 0.4 / args.dim)
+
     for i in range(args.frames):
         t = i / max(args.frames - 1, 1)
-        centre = (0.02 * np.sin(2 * np.pi * t), 0.0, 0.45)
+        centre = (amp * np.sin(2 * np.pi * t), 0.0, 0.45)
         radius = 0.08 * (1.0 + 0.08 * np.sin(4 * np.pi * t))  # pulsing
         d = render_sphere_depth(H, W, fx, fy, cx, cy, centre, radius)
         Image.fromarray(d.astype(np.int32), mode="I").convert("I;16").save(
@@ -98,8 +107,17 @@ def main(argv=None):
                         # momentum + 2-level pyramid + window 2 + real
                         # convergence threshold (last key wins)
                         "WARP_WINDOW=2", "MOMENTUM=0.9",
+                        # heavy-ball multiplies the effective step by
+                        # 1/(1-mu); alpha must drop accordingly or the
+                        # update norm plateaus above the threshold
+                        "ALPHA=0.05",
                         "PYRAMID_LEVELS=2", "MAX_ITER=1024",
                         "MAX_UPDATE_NORM=1e-3",
+                        # stop when the data energy stops improving: on
+                        # warm-started frames the update norm plateaus on
+                        # regulariser drift long after reconstruction
+                        # quality has converged (see solver.estimate_psi)
+                        "STALL_WINDOW=64",
                     ]
                     if args.production
                     else []
