@@ -137,7 +137,7 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
     fused = conv_mxu and dim % 128 == 0  # conv_mxu flags "on TPU" here
     chunks = 8 if (dim >= 128 and not fused) else 0
 
-    def run_mom(live, psi_inv0):
+    def _run_mom(live, psi_inv0):
         psi = fields.identity_field(dims)
         common = (psi, tg, wg, live, wn, taps, jnp.float32(0.05),
                   jnp.float32(0.2), cap, thresh)
@@ -161,6 +161,13 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
             *common, psi_inv0, warp_window=2, momentum=0.9,
             conv_mxu=conv_mxu, inverse_iters=12,
         )
+
+    # ONE dispatch per frame, as the production pipeline runs it
+    # (pipeline.fused_frame_step jits the whole frame): the pyramid's
+    # host-level orchestration (downsamples, per-level solves, upsamples)
+    # otherwise pays a host->device round trip PER STAGE — ~15 dispatches
+    # at 256^3, which on a tunneled chip is pure overhead.
+    run_mom = jax.jit(_run_mom)
 
     # steady-state warm start for the inverse tail, as in production: the
     # "previous frame" is a genuinely different scene (half the shift), so

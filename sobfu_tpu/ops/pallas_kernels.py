@@ -110,7 +110,7 @@ def _shift_x_edge(a: jnp.ndarray, o: int, X: int) -> jnp.ndarray:
 #     dim only (the Mosaic-safe pattern established above).
 
 
-def _make_warp_kernel(BZ, TY, Y, X, K, Zg, floor):
+def _make_warp_kernel(BZ, TY, Y, X, K, Zg, floor, sub_ident=False):
     """Bounded-window warp kernel body: one (z, y)-tile of ONE channel.
 
     Channels ride the grid (tile-major, channel-minor) rather than an
@@ -181,9 +181,18 @@ def _make_warp_kernel(BZ, TY, Y, X, K, Zg, floor):
                 wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz))
             return acc + wz * acc_y
 
-        out_ref[0] = jax.lax.fori_loop(
+        acc = jax.lax.fori_loop(
             0, 2 * K + 1, warp_body, jnp.zeros(shape_o, jnp.float32)
         )
+        if sub_ident:
+            # inverse fixed-point step fused in: out = ident_c - warp
+            # (channel rides the grid; ident channel order is [x, y, z])
+            c = pl.program_id(2)
+            ident_c = jnp.where(
+                c == 0, vx, jnp.where(c == 1, vy, vz)
+            )
+            acc = ident_c - acc
+        out_ref[0] = acc
 
     return kernel
 
@@ -210,21 +219,8 @@ def _stack_overlapping_zy(vol_pad, nz, ny, BZ, TY, K):
     return jnp.stack(tiles, axis=0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("K", "BZ", "TY", "floor", "interpret")
-)
-def window_warp_pallas(
-    vol: jnp.ndarray,  # f32[Z, Y, X] or f32[C, Z, Y, X]
-    psi: jnp.ndarray,  # f32[3, Z, Y, X] absolute coords (voxel units)
-    K: int = 2,
-    BZ: int = 0,
-    TY: int = 0,
-    floor: bool = False,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Bounded-window trilinear (or floor-corner) warp as a pipelined Pallas
-    kernel. Semantics identical to fields.sample_trilinear_window /
-    sample_nearest_floor_window; valid while displacements stay within K.
+def _warp_tiling(Z, Y, X, K, BZ=0, TY=0):
+    """Resolve the (BZ, TY) tile geometry for the window-warp kernel.
 
     TY=0 picks the default y-tile sized to Mosaic's 16 MB scoped-vmem
     budget: the kernel body keeps ~2(2K+1)+4 tile-sized temps live
@@ -233,14 +229,10 @@ def window_warp_pallas(
     K=2 points (whole-Y at 128^3 compiles; TY=64 at X=256; TY=32 at
     X=512; one step larger fails), e.g. K=4 at 128^3 -> TY=64.
     """
-    squeeze = vol.ndim == 3
-    if squeeze:
-        vol = vol[None]
-    C, Z, Y, X = vol.shape
     if BZ == 0:
         # deep z-tiles cut the overlapping-stack read amplification
         # ((BZ+2K)/BZ): 1.5 at BZ=8 -> 1.125 at BZ=32. The raised Mosaic
-        # vmem budget below makes the bigger scratch legal.
+        # vmem budget makes the bigger scratch legal.
         BZ = 32
         while Z % BZ:
             BZ //= 2
@@ -255,12 +247,39 @@ def window_warp_pallas(
         while Y % TY:
             TY //= 2
     assert Z % BZ == 0 and Y % TY == 0, (Z, BZ, Y, TY)
-    nz, ny = Z // BZ, Y // TY
+    return BZ, TY
 
-    vol_pad = jnp.pad(
-        vol, [(0, 0), (K, K), (K, K), (0, 0)], mode="edge"
-    )
-    vol_t = _stack_overlapping_zy(vol_pad, nz, ny, BZ, TY, K)
+
+def prestack_warp_vol(vol: jnp.ndarray, K: int, BZ: int, TY: int):
+    """Edge-pad and stack a (C, Z, Y, X) volume into the overlapping
+    (nz, ny, C, BZ+2K, TY+2K, X) tiles :func:`_window_warp_stacked`
+    consumes. Hoist this out of any loop whose warped volume is
+    loop-invariant (the solver while_loop does so automatically; host-
+    level fixed points like the inverse must do it by hand)."""
+    C, Z, Y, X = vol.shape
+    vol_pad = jnp.pad(vol, [(0, 0), (K, K), (K, K), (0, 0)], mode="edge")
+    return _stack_overlapping_zy(vol_pad, Z // BZ, Y // TY, BZ, TY, K)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "BZ", "TY", "floor", "interpret", "sub_ident"),
+)
+def _window_warp_stacked(
+    vol_t: jnp.ndarray,  # (nz, ny, C, BZ+2K, TY+2K, X) from prestack_warp_vol
+    psi: jnp.ndarray,  # f32[3, Z, Y, X] absolute coords (voxel units)
+    K: int,
+    BZ: int,
+    TY: int,
+    floor: bool = False,
+    interpret: bool = False,
+    sub_ident: bool = False,
+) -> jnp.ndarray:
+    """Pipelined window-warp over pre-stacked tiles; see
+    :func:`window_warp_pallas`. sub_ident=True returns ``ident - warp``
+    (the inverse fixed-point step) fused into the kernel epilogue."""
+    nz, ny, C = vol_t.shape[:3]
+    _, Z, Y, X = psi.shape
 
     # auto-size the scoped-vmem budget to the actual footprint (pipeline
     # double buffers the three blocks; the body keeps ~2(2K+1)+4
@@ -280,8 +299,8 @@ def window_warp_pallas(
         else {}
     )
 
-    out = pl.pallas_call(
-        _make_warp_kernel(BZ, TY, Y, X, K, Z, floor),
+    return pl.pallas_call(
+        _make_warp_kernel(BZ, TY, Y, X, K, Z, floor, sub_ident),
         grid=(nz, ny, C),  # channel-minor: psi block re-used across channels
         in_specs=[
             pl.BlockSpec(
@@ -303,6 +322,34 @@ def window_warp_pallas(
         **cparams,
     )(vol_t, psi)
 
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "BZ", "TY", "floor", "interpret")
+)
+def window_warp_pallas(
+    vol: jnp.ndarray,  # f32[Z, Y, X] or f32[C, Z, Y, X]
+    psi: jnp.ndarray,  # f32[3, Z, Y, X] absolute coords (voxel units)
+    K: int = 2,
+    BZ: int = 0,
+    TY: int = 0,
+    floor: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bounded-window trilinear (or floor-corner) warp as a pipelined Pallas
+    kernel. Semantics identical to fields.sample_trilinear_window /
+    sample_nearest_floor_window; valid while displacements stay within K.
+
+    Tile geometry notes in :func:`_warp_tiling`.
+    """
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[None]
+    C, Z, Y, X = vol.shape
+    BZ, TY = _warp_tiling(Z, Y, X, K, BZ, TY)
+    vol_t = prestack_warp_vol(vol, K, BZ, TY)
+    out = _window_warp_stacked(
+        vol_t, psi, K=K, BZ=BZ, TY=TY, floor=floor, interpret=interpret
+    )
     return out[0] if squeeze else out
 
 
@@ -931,22 +978,37 @@ def fused_gd_step(
 
 
 def estimate_inverse_window_pallas(
-    psi: jnp.ndarray, iters: int = 48, K: int = 2, BZ: int = 0, init=None
+    psi: jnp.ndarray,
+    iters: int = 48,
+    K: int = 2,
+    BZ: int = 0,
+    init=None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Fixed-point inverse (vector_fields.cu:111-138 semantics) with each
     displacement interpolation running as the pipelined Pallas window-warp
     kernel — the TPU tail-path companion of fields.estimate_inverse_window
     (same window semantics, C=3 field sampling per step). ``init`` warm-
-    starts the iteration (previous frame's inverse); None = identity."""
+    starts the iteration (previous frame's inverse); None = identity.
+
+    The loop-invariant displacement tiles are pre-stacked ONCE and the
+    ``ident -`` epilogue is fused into the kernel (sub_ident), so each
+    fixed-point step is exactly one pallas pass over psi_inv."""
     dims = psi.shape[1:]
+    Z, Y, X = dims
     zz = jax.lax.broadcasted_iota(jnp.float32, dims, 0)
     yy = jax.lax.broadcasted_iota(jnp.float32, dims, 1)
     xx = jax.lax.broadcasted_iota(jnp.float32, dims, 2)
     ident = jnp.stack([xx, yy, zz], axis=0)
     disp = psi - ident
+    BZr, TY = _warp_tiling(Z, Y, X, K, BZ, 0)
+    disp_t = prestack_warp_vol(disp, K, BZr, TY)
 
     def body(_, psi_inv):
-        return ident - window_warp_pallas(disp, psi_inv, K=K, BZ=BZ)
+        return _window_warp_stacked(
+            disp_t, psi_inv, K=K, BZ=BZr, TY=TY, sub_ident=True,
+            interpret=interpret,
+        )
 
     return jax.lax.fori_loop(0, iters, body, ident if init is None else init)
 

@@ -215,6 +215,7 @@ def sobolev_smooth(
         "x_pad_to",
         "stall_window",
         "stall_rel",
+        "skip_tails",
     ),
 )
 def estimate_psi(
@@ -246,6 +247,7 @@ def estimate_psi(
     x_pad_to: int = 0,
     stall_window: int = 0,
     stall_rel: float = 1e-3,
+    skip_tails: bool = False,
 ) -> SolveResult:
     """Run the full warp-field solve for one frame; everything stays on device.
 
@@ -282,6 +284,15 @@ def estimate_psi(
     loop state up to this extent so sub-128 grids (e.g. the reference's own
     64^3 headline workload) compile under Mosaic; results on real lanes are
     identical. Only meaningful with fused_db.
+
+    skip_tails: skip the per-solve tail computations entirely — the
+    inverse-field fixed point and the final psi_inv / weight warps — and
+    return pass-through placeholders for them (psi_inv = psi,
+    tsdf_global_psi_inv = tsdf_global, weights unwarped). For coarse
+    pyramid levels, whose tails are discarded by the caller: at 256^3 the
+    tails cost more than the entire coarse iteration loop. The weight
+    volumes are untouched in this mode (the GD loop never reads them), so
+    callers may pass placeholders for them too.
 
     stall_window / stall_rel: DATA-ENERGY STALL detector (TPU extension;
     0 = off, exact reference stopping semantics). In warm-started frame
@@ -506,10 +517,16 @@ def estimate_psi(
         unpad_st(final.tsdf_n_psi, xl_db) if fused_db else final.tsdf_n_psi
     )
 
-    psi_inv = inverse(psi_final, init=psi_inv0)
-    tsdf_g_inv = warp_scalar(tsdf_global, psi_inv)
-    weight_g_inv = warp_floor(weight_global, psi_inv)
-    weight_n_psi = warp_floor(weight_n, psi_final)
+    if skip_tails:
+        psi_inv = psi_final
+        tsdf_g_inv = tsdf_global
+        weight_g_inv = weight_global
+        weight_n_psi = weight_n
+    else:
+        psi_inv = inverse(psi_final, init=psi_inv0)
+        tsdf_g_inv = warp_scalar(tsdf_global, psi_inv)
+        weight_g_inv = warp_floor(weight_global, psi_inv)
+        weight_n_psi = warp_floor(weight_n, psi_final)
 
     return SolveResult(
         psi=psi_final,
@@ -539,16 +556,69 @@ def estimate_psi(
 # the iteration count to reach it drops.
 
 
+@functools.lru_cache(maxsize=64)
+def _pool2_matrix(n: int) -> np.ndarray:
+    """(n//2, n) matrix averaging adjacent pairs (2x mean-pool, one axis)."""
+    m = np.zeros((n // 2, n), np.float32)
+    idx = np.arange(n // 2)
+    m[idx, 2 * idx] = 0.5
+    m[idx, 2 * idx + 1] = 0.5
+    return m
+
+
+@functools.lru_cache(maxsize=64)
+def _linear_resize_matrix(n: int, m: int) -> np.ndarray:
+    """(m, n) matrix reproducing jax.image.resize 'trilinear' along one
+    axis (extracted by resizing the identity — resize is linear in its
+    input, so the matrix is exact). ensure_compile_time_eval keeps the
+    extraction concrete even when the caller is being traced (the pyramid
+    inlines under the pipeline/bench whole-frame jit)."""
+    with jax.ensure_compile_time_eval():
+        eye = jnp.eye(n, dtype=jnp.float32)
+        w = jax.image.resize(eye, (m, n), method="trilinear")
+        return np.asarray(jax.device_get(w))
+
+
 def _downsample2(vol: jnp.ndarray) -> jnp.ndarray:
-    """2x average-pool a volume f32[Z,Y,X] (dims must be even)."""
+    """2x average-pool a volume f32[Z,Y,X] (dims must be even).
+
+    Evaluated as three per-axis pooling matmuls: the earlier
+    reshape(Z/2,2,...).mean lowering cost ~40 ms per 256^3 volume on TPU
+    (lane/sublane splits); the matmul form rides the MXU at memory speed.
+    """
     Z, Y, X = vol.shape
-    return vol.reshape(Z // 2, 2, Y // 2, 2, X // 2, 2).mean(axis=(1, 3, 5))
+    pz = jnp.asarray(_pool2_matrix(Z))
+    py = jnp.asarray(_pool2_matrix(Y))
+    px = jnp.asarray(_pool2_matrix(X))
+    out = jnp.einsum("ij,jyx->iyx", pz, vol, preferred_element_type=jnp.float32)
+    out = jnp.einsum("ij,zjx->zix", py, out, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "ij,zyj->zyi", px, out, preferred_element_type=jnp.float32
+    )
 
 
 def _resample_disp(disp: jnp.ndarray, dims_zyx, scale: float) -> jnp.ndarray:
     """Trilinearly resample a displacement field f32[3,Z,Y,X] to new dims,
-    scaling the displacement VALUES by `scale` (voxel-unit change)."""
-    out = jax.image.resize(disp, (3,) + tuple(dims_zyx), method="trilinear")
+    scaling the displacement VALUES by `scale` (voxel-unit change).
+
+    Same weights as jax.image.resize 'trilinear' (the per-axis matrices
+    are extracted from it), evaluated as three MXU contractions — resize's
+    own gather-based lowering cost ~68 ms for a 3x256^3 field on TPU.
+    """
+    _, Z, Y, X = disp.shape
+    Zo, Yo, Xo = dims_zyx
+    wz = jnp.asarray(_linear_resize_matrix(Z, Zo))
+    wy = jnp.asarray(_linear_resize_matrix(Y, Yo))
+    wx = jnp.asarray(_linear_resize_matrix(X, Xo))
+    out = jnp.einsum(
+        "ij,cjyx->ciyx", wz, disp, preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum(
+        "ij,czjx->czix", wy, out, preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum(
+        "ij,czyj->czyi", wx, out, preferred_element_type=jnp.float32
+    )
     return out * jnp.float32(scale)
 
 
@@ -613,18 +683,15 @@ def estimate_psi_pyramid(
     dims = tsdf_n.shape
     ident_f = fields.identity_field(dims)
 
-    # build volume pyramids (coarse levels are warm-start quality only)
-    pyr = [(tsdf_global, weight_global, tsdf_n, weight_n)]
+    # build volume pyramids (coarse levels are warm-start quality only).
+    # Only the TSDFs are downsampled: the coarse solves run with
+    # skip_tails=True, and the GD loop itself never reads the weight
+    # volumes, so coarse weights would be dead work (at 256^3 they were
+    # half the pyramid-construction cost).
+    pyr = [(tsdf_global, tsdf_n)]
     for _ in range(levels - 1):
-        tg_c, wg_c, tn_c, wn_c = pyr[-1]
-        pyr.append(
-            (
-                _downsample2(tg_c),
-                _downsample2(wg_c),
-                _downsample2(tn_c),
-                _downsample2(wn_c),
-            )
-        )
+        tg_c, tn_c = pyr[-1]
+        pyr.append((_downsample2(tg_c), _downsample2(tn_c)))
 
     disp = psi - ident_f
     if levels > 1:
@@ -635,7 +702,7 @@ def estimate_psi_pyramid(
     )
     total_coarse = jnp.int32(0)  # traced-safe (this fn may inline under jit)
     for lev in range(levels - 1, 0, -1):
-        tg_c, wg_c, tn_c, wn_c = pyr[lev]
+        tg_c, tn_c = pyr[lev]
         dims_c = tn_c.shape
         psi_c = fields.identity_field(dims_c) + disp
         thresh_c = max_update_norm_thresh * jnp.float32(
@@ -647,9 +714,9 @@ def estimate_psi_pyramid(
         )
         fused_c = fused_db and xpt_c >= 0 and not db_interpret
         res_c = estimate_psi(
-            psi_c, tg_c, wg_c, tn_c, wn_c, taps, alpha, w_reg,
+            psi_c, tg_c, tg_c, tn_c, tn_c, taps, alpha, w_reg,
             coarse_its, thresh_c,
-            inverse_iters=1,  # tails discarded at coarse levels
+            skip_tails=True,  # tails discarded at coarse levels
             warp_window=warp_window,
             momentum=momentum,
             conv_mxu=conv_mxu,

@@ -207,6 +207,30 @@ def test_window_warp_pallas_matches_xla(dims, TY):
     np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3), atol=1e-5)
 
 
+def test_inverse_window_pallas_matches_xla():
+    """Pallas fixed-point inverse (prestacked disp + fused ident-sub
+    epilogue) == fields.estimate_inverse_window, cold and warm-started."""
+    from sobfu_tpu.ops.pallas_kernels import estimate_inverse_window_pallas
+
+    dims = (16, 16, 32)
+    rng = np.random.default_rng(3)
+    psi = fields.identity_field(dims) + jnp.asarray(
+        rng.uniform(-1.2, 1.2, (3,) + dims), jnp.float32
+    )
+    out = estimate_inverse_window_pallas(psi, iters=6, K=2, interpret=True)
+    ref = fields.estimate_inverse_window(psi, iters=6, max_disp=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    warm = fields.identity_field(dims) + jnp.asarray(
+        rng.uniform(-0.3, 0.3, (3,) + dims), jnp.float32
+    )
+    out_w = estimate_inverse_window_pallas(
+        psi, iters=4, K=2, init=warm, interpret=True
+    )
+    ref_w = fields.estimate_inverse_window(psi, iters=4, max_disp=2, init=warm)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w), atol=1e-5)
+
+
 @pytest.mark.parametrize("momentum", [None, 0.9])
 def test_fused_stacked_iteration_matches_xla(momentum):
     """BlockSpec-stacked small-grid fused iteration == the XLA window step

@@ -6,6 +6,7 @@ the data energy must drop substantially and the estimated field must move
 the live surface onto the global one.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -699,6 +700,38 @@ def test_pyramid_reaches_oracle_energy_with_fewer_fine_iters():
     assert e_pyr <= e_gd * 1.05, (e_pyr, e_gd)
     assert int(pyr.iters) < int(mom.iters) < int(gd.iters)
     assert not np.isnan(np.asarray(pyr.psi)).any()
+
+
+def test_pyramid_whole_frame_jit_matches_eager():
+    """estimate_psi_pyramid traced under ONE outer jit (as the production
+    pipeline and bench run it — one dispatch per frame) must match the
+    eager host-orchestrated pyramid: same iteration count, psi equal to
+    fp-reassociation tolerance. Guards the trace-safety of the pyramid's
+    host-side helpers (pool/resize matrix extraction)."""
+    dim = 16
+    vs = 1.0 / dim
+    dims = (dim,) * 3
+    from sobfu_tpu.tsdf import init_sphere
+
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.20, 8 * vs, 3 * vs)
+    tn, wn = init_sphere(
+        dims, (vs,) * 3, (0.5 - 1.0 * vs, 0.5, 0.5), 0.21, 8 * vs, 3 * vs
+    )
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+
+    def run(live):
+        return solver.estimate_psi_pyramid(
+            fields.identity_field(dims), tg, wg, live, wn, taps,
+            jnp.float32(0.05), jnp.float32(0.2), jnp.int32(24),
+            jnp.float32(1e-3), levels=2, warp_window=2, momentum=0.9,
+        )
+
+    jitted = jax.jit(run)(tn)
+    eager = run(tn)
+    assert int(jitted.iters) == int(eager.iters)
+    np.testing.assert_allclose(
+        np.asarray(jitted.psi), np.asarray(eager.psi), atol=2e-3
+    )
 
 
 def test_stall_detector_stops_on_flat_data_energy():
