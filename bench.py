@@ -127,12 +127,17 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
     )
     taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
     taps_static = tuple(float(t) for t in np.asarray(taps))
-    # measured trajectory (momentum 0.9, this scene): max_norm 1e-3 at
-    # ~iter 400 with the data energy already ~3x below what plain GD
-    # reaches at 1024 iterations; 2e-4 only arrives at the iteration cap.
     # The norm is in VOXEL units — scale by dim/128 so the stopping
-    # criterion is the same METRIC accuracy at every resolution.
-    thresh = jnp.float32(1e-3 * dim / 128.0)
+    # criterion is the same METRIC accuracy at every resolution. The
+    # PRODUCTION stop is 4e-3: the round-3 threshold sweep (BENCHLOG
+    # 2026-08-18) shows the data energy is flat from 4e-3 down to 1e-3
+    # (e_ratio 0.158 at both, 147 vs 202 iters at 128^3) — the tighter
+    # stop only grinds the regulariser. The ORACLE keeps the stricter
+    # 1e-3 stop, so certification stays conservative: the accelerated
+    # mode with its looser stop must still reach the energy plain GD
+    # reaches at the tighter one.
+    thresh = jnp.float32(4e-3 * dim / 128.0)
+    thresh_oracle = jnp.float32(1e-3 * dim / 128.0)
     cap = jnp.int32(1024)
     fused = conv_mxu and dim % 128 == 0  # conv_mxu flags "on TPU" here
     chunks = 8 if (dim >= 128 and not fused) else 0
@@ -143,14 +148,20 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
                   jnp.float32(0.2), cap, thresh)
         if fused:
             # production mode: coarse-to-fine (3 levels at >= 256^3, where
-            # two coarse levels are nearly free) + momentum + fused kernel
-            # + warm-started 12-iteration inverse (solver defaults in
-            # window mode)
+            # two coarse levels are nearly free) + momentum 0.95 + fused
+            # kernel with a COMPOSITIVE K=1 fine level (fine_window: the
+            # coarse levels absorb the bulk motion, so the sub-voxel fine
+            # increment is exact at K=1 and the kernel body shrinks ~1.4x)
+            # + warm-started 4-iteration inverse (matches cold-48 to 1e-4
+            # voxel; at 256^3 the 12-step tail was 54% of the frame) + the
+            # data-energy stall stop as a safety net (in-kernel energy
+            # partials — free)
             return solver.estimate_psi_pyramid(
                 *common, psi_inv0, levels=3 if dim >= 256 else 2,
-                warp_window=2, momentum=0.9,
+                warp_window=2, momentum=0.95, fine_window=1,
+                stall_window=16, stall_rel=1e-2,
                 fused_db=True, taps_static=taps_static, conv_mxu=conv_mxu,
-                inverse_iters=12,
+                inverse_iters=4,
             )
         if chunks:
             return solver.estimate_psi_chunked(
@@ -159,7 +170,7 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
             )
         return solver.estimate_psi(
             *common, psi_inv0, warp_window=2, momentum=0.9,
-            conv_mxu=conv_mxu, inverse_iters=12,
+            conv_mxu=conv_mxu, inverse_iters=4,
         )
 
     # ONE dispatch per frame, as the production pipeline runs it
@@ -201,11 +212,12 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
         "e_final": round(e_final, 4),
     }
     if with_oracle:
-        # oracle: plain GD (exact reference semantics) to the same threshold
+        # oracle: plain GD (exact reference semantics) to the STRICTER
+        # 1e-3 threshold (see thresh_oracle note above)
         psi = fields.identity_field(dims)
         gd = solver.estimate_psi(
             psi, tg, wg, tn, wn, taps, jnp.float32(0.05), jnp.float32(0.2),
-            cap, thresh, warp_window=2, conv_mxu=conv_mxu,
+            cap, thresh_oracle, warp_window=2, conv_mxu=conv_mxu,
         )
         e_gd = float(data_energy(tg, gd.tsdf_n_psi))
         out.update(

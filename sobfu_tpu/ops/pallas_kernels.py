@@ -473,7 +473,7 @@ def _make_db_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, ny, n_tiles,
 def _gd_tile_compute(
     sp_ref, st_ref, sg_ref, live_slice, vel_at, psi_out, tnp_out, vel_out,
     mx_out, iz, iy, alpha, w_reg, *, BZ, TY, Z, Y, X, K, taps, n_taps, mu,
-    z_base=0, XL=0, H=_H, live_x=None, xmats=None
+    z_base=0, XL=0, H=_H, live_x=None, xmats=None, e_out=None
 ):
     """Shared per-tile GD-iteration compute (stencils + potential gradient
     + Sobolev convolutions + update + windowed warp + tile max norm).
@@ -503,6 +503,12 @@ def _gd_tile_compute(
     live_x: optional (oz, ox) -> (BZ, TY+2H, X) callback returning the
     live tile ALREADY x-shifted by ox (pre-shifted live stack) — removes
     (2K+1)^2 lane-roll+edge-fix passes per tile from the warp.
+    e_out: optional (1, 1, 8, 128) ref receiving the tile's DATA-ENERGY
+    partial sum((tnp' - tg)^2) (dead packing lanes masked out). Computed
+    in-kernel so the stall detector / energy recording never touch the
+    big loop-carried buffers outside the kernel — an outside reduction
+    forces XLA to copy the pallas-aliased padded state every iteration
+    (~2x per-iteration cost at 128^3, measured 2026-08-17).
     xmats: optional (bx, gx, lx) square (X, X) matrices evaluating the
     x-axis convolution / central difference / second difference as MXU
     matmuls (edge clamping and boundary masks folded into the matrix
@@ -659,9 +665,17 @@ def _gd_tile_compute(
         wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32)))
         return acc + wz * acc_y
 
-    tnp_out[:] = jax.lax.fori_loop(
+    tnp_val = jax.lax.fori_loop(
         0, 2 * K + 1, warp_body, jnp.zeros(shape_o, jnp.float32)
     )
+    tnp_out[:] = tnp_val
+
+    if e_out is not None:
+        d = tnp_val - sg[H:H + BZ, H:H + TY, :]
+        if XL < X:
+            lx_e = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2)
+            d = jnp.where(lx_e < XL, d, 0.0)
+        e_out[:] = jnp.full((1, 1, 8, 128), jnp.sum(d * d), jnp.float32)
 
 
 def _db_tiles(Z, Y, X):
@@ -1237,7 +1251,7 @@ def _x_matrices(taps_static, XP: int, XL: int) -> np.ndarray:
 
 
 def _make_pp_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, nz, ny, XL,
-                    stacked=False, use_xmats=False):
+                    stacked=False, use_xmats=False, with_energy=False):
     """Ping-pong kernel body: double-buffered input DMA (as _make_db_kernel)
     + explicit padded-state output DMA with boundary replica strips.
 
@@ -1257,17 +1271,20 @@ def _make_pp_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, nz, ny, XL,
         xm_ref = refs.pop(0) if use_xmats else None
         if has_vel:
             (psi_ref, tnp_ref, tg_ref, live_ref, vel_ref,
-             psi_out, tnp_out, vel_out, mx_out,
-             s_psi, s_tnp, s_tg, s_live, s_vel, s_po, s_to,
-             s_zs_p, s_zs_t, s_ys_p, s_ys_t, s_cs_p, s_cs_t,
-             in_sems, out_sems) = refs
+             psi_out, tnp_out, vel_out, mx_out, *rest) = refs
         else:
             (psi_ref, tnp_ref, tg_ref, live_ref,
-             psi_out, tnp_out, mx_out,
-             s_psi, s_tnp, s_tg, s_live, s_po, s_to,
-             s_zs_p, s_zs_t, s_ys_p, s_ys_t, s_cs_p, s_cs_t,
-             in_sems, out_sems) = refs
+             psi_out, tnp_out, mx_out, *rest) = refs
             vel_ref = vel_out = s_vel = None
+        e_out = rest.pop(0) if with_energy else None
+        if has_vel:
+            (s_psi, s_tnp, s_tg, s_live, s_vel, s_po, s_to,
+             s_zs_p, s_zs_t, s_ys_p, s_ys_t, s_cs_p, s_cs_t,
+             in_sems, out_sems) = rest
+        else:
+            (s_psi, s_tnp, s_tg, s_live, s_po, s_to,
+             s_zs_p, s_zs_t, s_ys_p, s_ys_t, s_cs_p, s_cs_t,
+             in_sems, out_sems) = rest
 
         iz = pl.program_id(0)
         iy = pl.program_id(1)
@@ -1462,6 +1479,7 @@ def _make_pp_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, nz, ny, XL,
                 else None
             ),
             xmats=xm,
+            e_out=e_out,
         )
 
         # ---- boundary replica strips from the freshly computed center ----
@@ -1538,12 +1556,20 @@ def fused_gd_iteration_pp(
     x_logical: int = 0,
     vmem_limit_mb: int = 0,
     use_xmats: bool = False,
+    with_energy: bool = False,
 ):
     """One fused solver iteration with PING-PONG padded state: returns
-    (psi_pad', tnp_pad', vel', max||update||^2) where the padded outputs are
-    ready to feed straight back in — no refresh step. Numerics identical to
-    :func:`fused_gd_iteration_db_padded` + :func:`refresh_padded` (MXU
-    x-operators reassociate lane sums — f32 round-off level).
+    (psi_pad', tnp_pad', vel', max||update||^2, e_data) where the padded
+    outputs are ready to feed straight back in — no refresh step. Numerics
+    identical to :func:`fused_gd_iteration_db_padded` +
+    :func:`refresh_padded` (MXU x-operators reassociate lane sums — f32
+    round-off level).
+
+    with_energy: also return e_data = 0.5*sum((tnp'-tg)^2) (the reference's
+    data energy, reductor.cpp:38-43) accumulated from in-kernel per-tile
+    partials; None otherwise. In-kernel because any outside consumer of the
+    loop-carried padded buffers forces XLA to copy them every iteration
+    (the custom-call may alias them) — measured ~2x per-iteration cost.
 
     live_pad may be either the (Z', Y', X) padded live volume or the
     (2K+1, Z', Y', X) pre-shifted stack from :func:`stack_live_shifts`.
@@ -1582,7 +1608,7 @@ def fused_gd_iteration_pp(
     mu = float(momentum) if momentum is not None else None
     kernel = _make_pp_kernel(
         BZ, TY, Z, Y, X, K, taps_static, n_taps, mu, nz, ny, x_logical,
-        stacked=stacked, use_xmats=use_xmats,
+        stacked=stacked, use_xmats=use_xmats, with_energy=with_energy,
     )
 
     TH = TY + 2 * H
@@ -1617,6 +1643,14 @@ def fused_gd_iteration_pp(
         )
     )
     out_shapes.append(jax.ShapeDtypeStruct(grid + (8, 128), jnp.float32))
+    if with_energy:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(jax.ShapeDtypeStruct(grid + (8, 128), jnp.float32))
 
     scratch = [
         pltpu.VMEM((2, 3, BH, TH, X), jnp.float32),  # s_psi
@@ -1684,9 +1718,14 @@ def fused_gd_iteration_pp(
         **({"compiler_params": cparams} if cparams else {}),
     )(*args)
 
+    outs = list(outs)
+    e_data = None
+    if with_energy:
+        e_tiles = outs.pop()
+        e_data = 0.5 * jnp.sum(e_tiles[:, :, 0, 0])
     if mu is not None:
         psi_new, tnp_new, vel_new, mx_tiles = outs
     else:
         psi_new, tnp_new, mx_tiles = outs
         vel_new = None
-    return psi_new, tnp_new, vel_new, jnp.max(mx_tiles)
+    return psi_new, tnp_new, vel_new, jnp.max(mx_tiles), e_data

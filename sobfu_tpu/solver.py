@@ -377,9 +377,10 @@ def estimate_psi(
     def gd_step(state: SolverState) -> SolverState:
         psi, tsdf_n_psi = state.psi, state.tsdf_n_psi
 
+        e_kern = None
         if fused_db and use_pp:
             # padded ping-pong state: kernel outputs feed straight back in
-            psi_new, tsdf_new, vel_new, mx_sq = fused_gd_iteration_pp(
+            psi_new, tsdf_new, vel_new, mx_sq, e_kern = fused_gd_iteration_pp(
                 psi,
                 tsdf_n_psi,
                 state.vel if momentum is not None else None,
@@ -392,6 +393,7 @@ def estimate_psi(
                 momentum=momentum,
                 interpret=db_interpret,
                 x_logical=xl_db,
+                with_energy=stall_window > 0,
             )
             if momentum is None:
                 vel_new = state.vel
@@ -469,22 +471,27 @@ def estimate_psi(
 
         e_ref, stalled = state.e_ref, state.stalled
         if stall_window:
+            # branch-free: a lax.cond formulation measured ~2x
+            # per-iteration cost at 128^3 — the conditional in the loop
+            # body defeats XLA's pipelining of the fused kernel. Compute
+            # the energy every iteration and gate the UPDATE with where.
+            # On the ping-pong path the energy partials come from INSIDE
+            # the kernel (e_kern): any outside reduction over the padded
+            # loop state forces XLA to copy it each iteration (the pallas
+            # custom-call may alias it) — also ~2x, measured 2026-08-17.
             it1 = state.iter + 1
-
-            def _check(args):
-                e_prev, st = args
+            if e_kern is not None:
+                e_now = e_kern
+            else:
                 t_e = unpad_st(tsdf_new, xl_db) if fused_db else tsdf_new
                 e_now = data_energy(tsdf_global, t_e)
-                st_new = st | (
-                    (it1 >= 2 * stall_window)
-                    & (e_prev - e_now < jnp.float32(stall_rel) * jnp.abs(e_now))
-                )
-                return e_now, st_new
-
-            e_ref, stalled = jax.lax.cond(
-                it1 % stall_window == 0, _check, lambda args: args,
-                (e_ref, stalled),
+            at_check = (it1 % stall_window) == 0
+            stalled = stalled | (
+                at_check
+                & (it1 >= 2 * stall_window)
+                & (e_ref - e_now < jnp.float32(stall_rel) * jnp.abs(e_now))
             )
+            e_ref = jnp.where(at_check, e_now, e_ref)
 
         return SolverState(
             psi_new, tsdf_new, state.iter + 1, mnorm, energy, vel_new,
@@ -724,8 +731,12 @@ def estimate_psi_pyramid(
             taps_static=taps_static if fused_c else None,
             db_interpret=db_interpret,
             x_pad_to=max(0, xpt_c) if fused_c else 0,
-            stall_window=stall_window,
-            stall_rel=stall_rel,
+            # NO stall detector at coarse levels: their data energy
+            # plateaus early (coarse grids can't resolve the residual),
+            # so the stall fires prematurely and shifts iterations to
+            # the 8x-costlier fine level (measured 2x whole-solve cost
+            # at 128^3). The coarse threshold schedule is the stop here.
+            stall_window=0,
         )
         total_coarse = total_coarse + res_c.iters
         up_dims = pyr[lev - 1][0].shape
@@ -870,7 +881,12 @@ class Solver:
         )
         inv_iters = getattr(params, "inverse_iters", None)
         if inv_iters is None:
-            inv_iters = 12 if self.inverse_warm else 48
+            # warm default 4: the Sobolev-smoothed field contracts the
+            # fixed point ~10x/step — warm-started 4 matches cold 48 to
+            # 1e-4 voxel (max diff AND composition residual, measured at
+            # 256^3; BENCHLOG 2026-08-18). At 256^3 each step is ~9 ms:
+            # the 12-step default was 54% of the whole production frame.
+            inv_iters = 4 if self.inverse_warm else 48
         self.inverse_iters = int(inv_iters)
 
     def estimate_psi(self, phi_global, phi_global_psi_inv, phi_n, phi_n_psi,
@@ -1219,12 +1235,13 @@ def estimate_psi_compositive(
     def gd_step(state: SolverState) -> SolverState:
         delta, tnp = state.psi, state.tsdf_n_psi  # 'psi' slot holds delta
 
+        e_kern = None
         if fused_db:
             # state carries EDGE-PADDED (id + delta) and tnp; the fused
             # kernel computes the compositive update verbatim (see the
             # fused_db note in the docstring)
             if use_pp:
-                psi_p, tnp_p, vel_new, mx_sq = fused_gd_iteration_pp(
+                psi_p, tnp_p, vel_new, mx_sq, e_kern = fused_gd_iteration_pp(
                     delta,
                     tnp,
                     state.vel if momentum is not None else None,
@@ -1237,6 +1254,7 @@ def estimate_psi_compositive(
                     momentum=momentum,
                     interpret=db_interpret,
                     x_logical=xl_db,
+                    with_energy=stall_window > 0,
                 )
                 delta_new, tnp_new = psi_p, tnp_p
             else:
@@ -1297,22 +1315,21 @@ def estimate_psi_compositive(
 
         e_ref, stalled = state.e_ref, state.stalled
         if stall_window:
+            # branch-free + in-kernel energy on the pp path — see the
+            # stall block in estimate_psi's gd_step for the rationale
             it1 = state.iter + 1
-
-            def _check(args):
-                e_prev, st = args
+            if e_kern is not None:
+                e_now = e_kern
+            else:
                 t_e = unpad_st(tnp_new, xl_db) if fused_db else tnp_new
                 e_now = data_energy(tsdf_global, t_e)
-                st_new = st | (
-                    (it1 >= 2 * stall_window)
-                    & (e_prev - e_now < jnp.float32(stall_rel) * jnp.abs(e_now))
-                )
-                return e_now, st_new
-
-            e_ref, stalled = jax.lax.cond(
-                it1 % stall_window == 0, _check, lambda args: args,
-                (e_ref, stalled),
+            at_check = (it1 % stall_window) == 0
+            stalled = stalled | (
+                at_check
+                & (it1 >= 2 * stall_window)
+                & (e_ref - e_now < jnp.float32(stall_rel) * jnp.abs(e_now))
             )
+            e_ref = jnp.where(at_check, e_now, e_ref)
 
         return SolverState(
             delta_new, tnp_new, state.iter + 1, mnorm, energy, vel_new,

@@ -418,3 +418,68 @@ def test_estimate_psi_pingpong_full_solve(momentum):
     )
     assert abs(float(pp.max_norm) - float(ref.max_norm)) < 1e-5
     assert int(pp.iters) == int(ref.iters) == 10
+
+
+def test_pp_with_energy_matches_data_energy():
+    """fused_gd_iteration_pp(with_energy=True): the in-kernel per-tile
+    data-energy partials must sum to data_energy(tg, tnp') computed on
+    the unpadded outputs — the stall detector consumes this instead of
+    reducing the padded loop buffers outside the kernel."""
+    from sobfu_tpu.ops.pallas_kernels import (
+        fused_gd_iteration_pp,
+        pad_for_pp,
+        unpad_pp,
+    )
+    from sobfu_tpu.solver import data_energy
+
+    dims = (32, 64, 32)  # nz, ny >= 2 with auto tiles
+    tg, live, psi, tnp = _setup(dims, seed=11)
+    taps = tuple(float(t) for t in solver.sobolev_filter_1d(7, 0.1))
+    alpha, w_reg = jnp.float32(0.05), jnp.float32(0.2)
+
+    psi_p, tnp_p, _, mx, e_data = fused_gd_iteration_pp(
+        pad_for_pp(psi), pad_for_pp(tnp), None,
+        pad_for_pp(tg), pad_for_pp(live), alpha, w_reg, taps,
+        K=2, BZ=8, TY=16, interpret=True, with_energy=True,
+    )
+    e_ref = float(data_energy(tg, unpad_pp(tnp_p)))
+    assert abs(float(e_data) - e_ref) < 1e-3 * max(1.0, abs(e_ref))
+
+    # with_energy off: same outputs, e slot is None
+    psi_0, tnp_0, _, mx_0, e_none = fused_gd_iteration_pp(
+        pad_for_pp(psi), pad_for_pp(tnp), None,
+        pad_for_pp(tg), pad_for_pp(live), alpha, w_reg, taps,
+        K=2, BZ=8, TY=16, interpret=True,
+    )
+    assert e_none is None
+    np.testing.assert_allclose(np.asarray(psi_0), np.asarray(psi_p), atol=0)
+    np.testing.assert_allclose(np.asarray(tnp_0), np.asarray(tnp_p), atol=0)
+
+
+def test_stall_detector_fused_pp_matches_xla():
+    """The stall detector on the fused ping-pong path (in-kernel energy
+    partials) must stop at the same iteration as the XLA window path and
+    produce the same field."""
+    from sobfu_tpu.tsdf import init_sphere
+
+    dims = (32, 64, 32)
+    vs = 1.0 / 32
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 1.0, 0.5), 0.3, 8 * vs, 3 * vs)
+    tn, wn = init_sphere(dims, (vs,) * 3, (0.45, 1.0, 0.5), 0.31, 8 * vs, 3 * vs)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    common = (
+        fields.identity_field(dims), tg, wg, tn, wn, taps,
+        jnp.float32(0.05), jnp.float32(0.2), jnp.int32(256),
+        jnp.float32(1e-9),  # unreachable: only the stall stop can fire
+    )
+    ref = solver.estimate_psi(
+        *common, warp_window=2, momentum=0.9, stall_window=8, stall_rel=1e-2
+    )
+    pp = solver.estimate_psi(
+        *common, warp_window=2, momentum=0.9, stall_window=8, stall_rel=1e-2,
+        fused_db=True, taps_static=taps_static, db_interpret=True,
+    )
+    assert int(ref.iters) < 256  # the stall stop actually fired
+    assert int(pp.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(pp.psi), np.asarray(ref.psi), atol=2e-5)

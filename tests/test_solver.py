@@ -856,9 +856,11 @@ def test_pyramid_solver_dispatch():
 
 
 def test_inverse_warm_start_matches_cold_48():
-    """Warm-started 12-iteration inverse (previous frame's inverse as init)
-    stays within 0.05 voxel of the reference-parity 48-from-identity
-    inverse across accumulated frames."""
+    """Warm-started 4-iteration inverse (previous frame's inverse as init —
+    the production default) stays within 0.05 voxel of the reference-parity
+    48-from-identity inverse across accumulated frames. (The Sobolev-
+    smoothed field contracts the fixed point ~10x/step: measured 1e-4
+    voxel at 256^3 for warm-4, BENCHLOG 2026-08-18.)"""
     dim = 24
     vs = 1.0 / dim
     dims = (dim,) * 3
@@ -882,7 +884,7 @@ def test_inverse_warm_start_matches_cold_48():
         warm = solver.estimate_psi(
             psi, tg, wg, tn, wn, taps, jnp.float32(0.05), jnp.float32(0.2),
             jnp.int32(64), jnp.float32(-1.0), psi_inv_warm,
-            warp_window=2, inverse_iters=12,
+            warp_window=2, inverse_iters=4,
         )
         err = float(jnp.max(jnp.abs(warm.psi_inv - cold.psi_inv)))
         assert err <= 0.05, (k, err)
@@ -928,3 +930,32 @@ def test_chunked_inverse_warm_start_matches_cold_48():
         *common, n_chunks=2, warp_window=2, inverse_iters=4
     )
     assert float(jnp.max(jnp.abs(short_cold.psi_inv - warm.psi_inv))) > 1e-6
+
+
+def test_pyramid_stall_detector_skips_coarse_levels():
+    """The data-energy stall stop must act on the FINE level only: coarse
+    levels plateau early by construction (they cannot resolve the fine
+    residual), and a coarse stall shifts iterations to the 8x-costlier
+    fine grid (BENCHLOG 2026-08-18: 2x whole-solve cost at 128^3). With a
+    stall that fires instantly (rel=1e9), the fine level stops at
+    2*stall_window while the coarse level must still run to its own
+    threshold — total iterations well above the all-stalled floor."""
+    dim = 16
+    vs = 1.0 / dim
+    dims = (dim,) * 3
+    from sobfu_tpu.tsdf import init_sphere
+
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.20, 8 * vs, 3 * vs)
+    tn, wn = init_sphere(
+        dims, (vs,) * 3, (0.5 - 1.3 * vs, 0.5, 0.5), 0.205, 8 * vs, 3 * vs
+    )
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    res = solver.estimate_psi_pyramid(
+        fields.identity_field(dims), tg, wg, tn, wn, taps,
+        jnp.float32(0.05), jnp.float32(0.2), jnp.int32(256),
+        jnp.float32(1e-4), levels=2, warp_window=2, momentum=0.9,
+        stall_window=4, stall_rel=1e9,
+    )
+    # fine level stalls at exactly 2*stall_window = 8; if the coarse level
+    # stalled too, the total would be 16
+    assert int(res.iters) > 24, int(res.iters)

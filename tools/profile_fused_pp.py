@@ -61,7 +61,7 @@ def main():
 
         def body(i, carry):
             psi_p, tnp_p, vel = carry
-            psi_p, tnp_p, vel, _ = fused_gd_iteration_pp(
+            psi_p, tnp_p, vel, _, _ = fused_gd_iteration_pp(
                 psi_p, tnp_p, vel, tg_pad, live_pad, alpha, w_reg, taps,
                 K=K, BZ=BZ, TY=TY, momentum=momentum, x_logical=xl,
                 use_xmats=bool(xmats),
