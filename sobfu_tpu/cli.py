@@ -21,6 +21,12 @@ import argparse
 import os
 import sys
 
+# persistent compilation cache (set in __main__.py for `python -m
+# sobfu_tpu` BEFORE the package import pulls in jax; the setdefault here
+# covers direct `python sobfu_tpu/cli.py` runs where no jax is loaded yet)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser(
+    os.environ.get("SOBFU_CACHE_DIR", "~/.cache/jax")))
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -200,7 +206,11 @@ def main(argv=None) -> int:
         if args.checkpoint:
             ckpt.save_checkpoint(args.checkpoint, fusion)
 
-    print(f"processed {n_frames - start} frames, avg fps {timer.fps:.2f}")
+    print(
+        f"processed {n_frames - start} frames, avg fps {timer.fps:.2f}, "
+        f"steady-state fps {timer.steady_fps():.2f} "
+        "(first frames carry the one-time jit compile)"
+    )
     if live is not None:
         live.stop()
     return 0

@@ -194,9 +194,14 @@ def save_field_vti(field_disp: np.ndarray, path: str, spacing=(1.0, 1.0, 1.0)) -
     """
     C, Z, Y, X = field_disp.shape
     assert C == 3
-    # interleave to (Z, Y, X, 3) then flatten in VTK's x-fastest order
-    data = np.moveaxis(np.asarray(field_disp, np.float32), 0, -1).reshape(-1, 3)
-    raw = data.astype("<f4").tobytes()
+    # interleave to (Z, Y, X, 3) in VTK's x-fastest order; ONE copy
+    # (ascontiguousarray with target dtype) — the previous
+    # moveaxis->reshape->astype->tobytes chain made three copies of a
+    # 25 MB field at 256^3, seconds on a slow host
+    data = np.ascontiguousarray(
+        np.moveaxis(np.asarray(field_disp), 0, -1), dtype="<f4"
+    )
+    raw = data.tobytes()
     header = struct.pack("<Q", len(raw))
 
     with open(path, "wb") as f:

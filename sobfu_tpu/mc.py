@@ -276,6 +276,12 @@ def extract_mesh(
         flip_yz=flip_yz,
     )
     count = int(count)
-    return Mesh(
-        vertices=np.asarray(v[:count]), normals=np.asarray(n[:count])
-    )
+    # BUCKETED device trim: v[:count] with the exact per-frame count would
+    # lower a distinct slice program per count — on a remote-compile
+    # backend that is a fresh ~3 s helper round trip EVERY frame. Round
+    # the slice up to a bucket (<= ~24 distinct cached programs for any
+    # capacity) and trim exactly on the host.
+    bucket = min(max_vertices, max(65536, -(-count // 65536) * 65536))
+    v_h = np.asarray(v[:bucket])
+    n_h = np.asarray(n[:bucket])
+    return Mesh(vertices=v_h[:count], normals=n_h[:count])

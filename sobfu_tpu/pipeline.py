@@ -43,6 +43,9 @@ from sobfu_tpu.tsdf import TsdfVolume
         "taps_static",
         "pyramid_levels",
         "x_pad_to",
+        "fine_window",
+        "stall_window",
+        "stall_rel",
     ),
 )
 def fused_frame_step(
@@ -77,6 +80,9 @@ def fused_frame_step(
     taps_static=None,
     pyramid_levels=1,
     x_pad_to=0,
+    fine_window=None,
+    stall_window=0,
+    stall_rel=1e-3,
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -110,6 +116,8 @@ def fused_frame_step(
             inverse_iters=inverse_iters, warp_window=warp_window,
             momentum=momentum, conv_mxu=conv_mxu, fused_db=fused_db,
             taps_static=taps_static, x_pad_to=x_pad_to,
+            fine_window=fine_window,
+            stall_window=stall_window, stall_rel=stall_rel,
         )
     elif n_chunks:
         res = solver_mod.estimate_psi_chunked(
@@ -125,6 +133,7 @@ def fused_frame_step(
             inverse_iters=inverse_iters, momentum=momentum,
             conv_mxu=conv_mxu, fused_db=fused_db, taps_static=taps_static,
             x_pad_to=x_pad_to,
+            stall_window=stall_window, stall_rel=stall_rel,
         )
 
     tg2, wg2 = fuse_volumes(
@@ -246,6 +255,9 @@ class SobFusion:
                 ),
                 pyramid_levels=self.solver.pyramid_levels,
                 x_pad_to=self.solver.x_pad_to,
+                fine_window=self.solver.fine_window,
+                stall_window=self.solver.stall_window,
+                stall_rel=self.solver.stall_rel,
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi

@@ -30,7 +30,13 @@ class ScopeTime:
 
 
 class SampledScopeTime:
-    """Accumulates wall time; prints avg frame time + fps every `each` frames."""
+    """Accumulates wall time; prints avg frame time + fps every `each` frames.
+
+    Also tracks per-frame times so callers can report STEADY-STATE fps:
+    on backends without persistent executable caching the first frames
+    carry the whole-program compile (tens of seconds), which dominates
+    the plain average over short sequences.
+    """
 
     EACH = 34
 
@@ -38,13 +44,16 @@ class SampledScopeTime:
         self.each = each
         self.total_ms = 0.0
         self.frames = 0
+        self.samples_ms: list = []
 
     def __enter__(self):
         self._start = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
-        self.total_ms += (time.perf_counter() - self._start) * 1000.0
+        dt = (time.perf_counter() - self._start) * 1000.0
+        self.total_ms += dt
+        self.samples_ms.append(dt)
         self.frames += 1
         if self.frames % self.each == 0:
             avg = self.total_ms / self.frames
@@ -56,3 +65,11 @@ class SampledScopeTime:
         if self.total_ms == 0:
             return 0.0
         return 1000.0 * self.frames / self.total_ms
+
+    def steady_fps(self, skip: int = 2) -> float:
+        """fps over frames after the first `skip` (compile-carrying) ones;
+        falls back to the plain average when too few frames exist."""
+        tail = self.samples_ms[skip:]
+        if not tail:
+            return self.fps
+        return 1000.0 * len(tail) / sum(tail)

@@ -103,21 +103,23 @@ def main(argv=None):
                 ]
                 + (
                     [
-                        # production solver configuration (USAGE.md):
-                        # momentum + 2-level pyramid + window 2 + real
-                        # convergence threshold (last key wins)
-                        "WARP_WINDOW=2", "MOMENTUM=0.9",
+                        # production solver configuration (USAGE.md §5,
+                        # round-3 sweep; last key wins)
+                        "WARP_WINDOW=2", "MOMENTUM=0.95",
                         # heavy-ball multiplies the effective step by
                         # 1/(1-mu); alpha must drop accordingly or the
                         # update norm plateaus above the threshold
                         "ALPHA=0.05",
-                        "PYRAMID_LEVELS=2", "MAX_ITER=1024",
-                        "MAX_UPDATE_NORM=1e-3",
+                        "PYRAMID_LEVELS=2", "FINE_WINDOW=1",
+                        "MAX_ITER=1024",
+                        # data energy is flat from 4e-3 down to 1e-3; the
+                        # tighter stop only grinds the regulariser
+                        "MAX_UPDATE_NORM=4e-3",
                         # stop when the data energy stops improving: on
                         # warm-started frames the update norm plateaus on
                         # regulariser drift long after reconstruction
                         # quality has converged (see solver.estimate_psi)
-                        "STALL_WINDOW=64",
+                        "STALL_WINDOW=16", "STALL_REL=1e-2",
                     ]
                     if args.production
                     else []
