@@ -110,7 +110,8 @@ def _shift_x_edge(a: jnp.ndarray, o: int, X: int) -> jnp.ndarray:
 #     dim only (the Mosaic-safe pattern established above).
 
 
-def _make_warp_kernel(BZ, TY, Y, X, K, Zg, floor, sub_ident=False):
+def _make_warp_kernel(BZ, TY, Y, X, K, Zg, floor, sub_ident=False,
+                      mixed=False):
     """Bounded-window warp kernel body: one (z, y)-tile of ONE channel.
 
     Channels ride the grid (tile-major, channel-minor) rather than an
@@ -141,17 +142,31 @@ def _make_warp_kernel(BZ, TY, Y, X, K, Zg, floor, sub_ident=False):
         cx = jnp.clip(psi_ref[0], 0.0, X - 1)
         cy = jnp.clip(psi_ref[1], 0.0, Y - 1)
         cz = jnp.clip(psi_ref[2], 0.0, Zg - 1)
-        if floor:
+        if mixed:
+            # channel-dependent mode (channel rides the grid): c==0
+            # trilinear, c==1 floor — one pipeline pass warps the tail's
+            # tsdf (trilinear) AND weight (floor) at the same psi_inv,
+            # sharing the psi DMA and the per-axis weight temps
+            isf = pl.program_id(2) == 1
+            cx = jnp.where(isf, jnp.floor(cx), cx)
+            cy = jnp.where(isf, jnp.floor(cy), cy)
+            cz = jnp.where(isf, jnp.floor(cz), cz)
+            hi = jnp.where(isf, jnp.float32(K), jnp.float32(K - 1e-4))
+            wfn = lambda d, o: jnp.where(
+                isf,
+                (d == o).astype(jnp.float32),
+                jnp.maximum(0.0, 1.0 - jnp.abs(d - o)),
+            )
+        elif floor:
             cx, cy, cz = jnp.floor(cx), jnp.floor(cy), jnp.floor(cz)
-        hi = K if floor else K - 1e-4
+            hi = K
+            wfn = lambda d, o: (d == o).astype(jnp.float32)
+        else:
+            hi = K - 1e-4
+            wfn = lambda d, o: jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
         dx = jnp.clip(cx - vx, -K, hi)
         dy = jnp.clip(cy - vy, -K, hi)
         dz = jnp.clip(cz - vz, -K, hi)
-
-        if floor:
-            wfn = lambda d, o: (d == o).astype(jnp.float32)
-        else:
-            wfn = lambda d, o: jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
 
         # per-axis weights precomputed ONCE per tile (tile-sized VMEM temps;
         # halves the op count vs recomputing the hat inside the triple loop —
@@ -175,8 +190,17 @@ def _make_warp_kernel(BZ, TY, Y, X, K, Zg, floor, sub_ident=False):
                     lzy = lxz[ox + K][:, K + oy : K + oy + TY, :]
                     acc_x = acc_x + wxs[ox + K] * lzy
                 acc_y = acc_y + wys[oy + K] * acc_x
-            if floor:
-                wz = (dz == oz.astype(jnp.float32)).astype(jnp.float32)
+            ozf = oz.astype(jnp.float32)
+            if mixed:
+                # reuse the hoisted isf: re-binding pl.program_id inside
+                # the fori_loop body fails interpret-mode lowering
+                wz = jnp.where(
+                    isf,
+                    (dz == ozf).astype(jnp.float32),
+                    jnp.maximum(0.0, 1.0 - jnp.abs(dz - ozf)),
+                )
+            elif floor:
+                wz = (dz == ozf).astype(jnp.float32)
             else:
                 wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz))
             return acc + wz * acc_y
@@ -263,7 +287,9 @@ def prestack_warp_vol(vol: jnp.ndarray, K: int, BZ: int, TY: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "BZ", "TY", "floor", "interpret", "sub_ident"),
+    static_argnames=(
+        "K", "BZ", "TY", "floor", "interpret", "sub_ident", "mixed"
+    ),
 )
 def _window_warp_stacked(
     vol_t: jnp.ndarray,  # (nz, ny, C, BZ+2K, TY+2K, X) from prestack_warp_vol
@@ -274,10 +300,14 @@ def _window_warp_stacked(
     floor: bool = False,
     interpret: bool = False,
     sub_ident: bool = False,
+    mixed: bool = False,
 ) -> jnp.ndarray:
     """Pipelined window-warp over pre-stacked tiles; see
     :func:`window_warp_pallas`. sub_ident=True returns ``ident - warp``
-    (the inverse fixed-point step) fused into the kernel epilogue."""
+    (the inverse fixed-point step) fused into the kernel epilogue.
+    mixed=True (C must be 2): channel 0 sampled trilinearly, channel 1
+    with the floor-corner rule — the tail's tsdf+weight pair warped at
+    one psi in a single pipeline pass."""
     nz, ny, C = vol_t.shape[:3]
     _, Z, Y, X = psi.shape
 
@@ -300,7 +330,7 @@ def _window_warp_stacked(
     )
 
     return pl.pallas_call(
-        _make_warp_kernel(BZ, TY, Y, X, K, Z, floor, sub_ident),
+        _make_warp_kernel(BZ, TY, Y, X, K, Z, floor, sub_ident, mixed),
         grid=(nz, ny, C),  # channel-minor: psi block re-used across channels
         in_specs=[
             pl.BlockSpec(
@@ -351,6 +381,33 @@ def window_warp_pallas(
         vol_t, psi, K=K, BZ=BZ, TY=TY, floor=floor, interpret=interpret
     )
     return out[0] if squeeze else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "BZ", "TY", "interpret")
+)
+def window_warp_pallas_mixed(
+    vol_tri: jnp.ndarray,  # f32[Z, Y, X] sampled trilinearly
+    vol_floor: jnp.ndarray,  # f32[Z, Y, X] sampled with the floor rule
+    psi: jnp.ndarray,  # f32[3, Z, Y, X] absolute coords (voxel units)
+    K: int = 2,
+    BZ: int = 0,
+    TY: int = 0,
+    interpret: bool = False,
+):
+    """Warp a (tsdf, weight) pair at the SAME psi in one pipeline pass:
+    channel 0 trilinear, channel 1 floor-corner (the solver tail's
+    tsdf_global/weight_global at psi_inv — two window_warp_pallas calls
+    merged, sharing the psi DMA and pipeline overhead). Returns
+    (warp_tri, warp_floor); each identical to the single-mode kernel."""
+    vol = jnp.stack([vol_tri, vol_floor], axis=0)
+    C, Z, Y, X = vol.shape
+    BZ, TY = _warp_tiling(Z, Y, X, K, BZ, TY)
+    vol_t = prestack_warp_vol(vol, K, BZ, TY)
+    out = _window_warp_stacked(
+        vol_t, psi, K=K, BZ=BZ, TY=TY, interpret=interpret, mixed=True
+    )
+    return out[0], out[1]
 
 
 # ---------------------------------------------------------------------------

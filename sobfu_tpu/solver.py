@@ -309,6 +309,7 @@ def estimate_psi(
     """
     energy0 = jnp.zeros((energy_cap if record_energy else 1, 3), jnp.float32)
 
+    warp_mixed = None
     if warp_window is None:
         warp_scalar = fields.sample_trilinear
         warp_floor = fields.sample_nearest_floor
@@ -321,11 +322,15 @@ def estimate_psi(
         from sobfu_tpu.ops.pallas_kernels import (
             estimate_inverse_window_pallas,
             window_warp_pallas,
+            window_warp_pallas_mixed,
         )
 
         warp_scalar = functools.partial(window_warp_pallas, K=warp_window)
         warp_floor = functools.partial(
             window_warp_pallas, K=warp_window, floor=True
+        )
+        warp_mixed = functools.partial(
+            window_warp_pallas_mixed, K=warp_window
         )
         inverse = functools.partial(
             estimate_inverse_window_pallas,
@@ -531,8 +536,15 @@ def estimate_psi(
         weight_n_psi = weight_n
     else:
         psi_inv = inverse(psi_final, init=psi_inv0)
-        tsdf_g_inv = warp_scalar(tsdf_global, psi_inv)
-        weight_g_inv = warp_floor(weight_global, psi_inv)
+        if warp_mixed is not None:
+            # tsdf (trilinear) + weight (floor) at the same psi_inv in
+            # ONE pipeline pass — shares the psi DMA and tile overhead
+            tsdf_g_inv, weight_g_inv = warp_mixed(
+                tsdf_global, weight_global, psi_inv
+            )
+        else:
+            tsdf_g_inv = warp_scalar(tsdf_global, psi_inv)
+            weight_g_inv = warp_floor(weight_global, psi_inv)
         weight_n_psi = warp_floor(weight_n, psi_final)
 
     return SolveResult(
@@ -720,11 +732,21 @@ def estimate_psi_pyramid(
             ((Xc + 127) // 128) * 128 if Xc >= 64 else -1
         )
         fused_c = fused_db and xpt_c >= 0 and not db_interpret
+        # metric-scaled window: the same PHYSICAL motion spans 2^lev fewer
+        # voxels at level lev, so the window (a voxel-unit bound) shrinks
+        # with it — K=1 coarse warp bodies are ~1.4x cheaper and remain
+        # exact for any displacement the fine K bounds (incoming coarse
+        # disp = fine disp * 0.5^lev <= K * 0.5^lev <= K_c)
+        K_c = (
+            max(1, -(-warp_window // (2 ** lev)))
+            if warp_window is not None
+            else None
+        )
         res_c = estimate_psi(
             psi_c, tg_c, tg_c, tn_c, tn_c, taps, alpha, w_reg,
             coarse_its, thresh_c,
             skip_tails=True,  # tails discarded at coarse levels
-            warp_window=warp_window,
+            warp_window=K_c,
             momentum=momentum,
             conv_mxu=conv_mxu,
             fused_db=fused_c,

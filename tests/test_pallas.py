@@ -483,3 +483,25 @@ def test_stall_detector_fused_pp_matches_xla():
     assert int(ref.iters) < 256  # the stall stop actually fired
     assert int(pp.iters) == int(ref.iters)
     np.testing.assert_allclose(np.asarray(pp.psi), np.asarray(ref.psi), atol=2e-5)
+
+
+def test_window_warp_pallas_mixed_matches_single_mode():
+    """Mixed-mode warp (channel 0 trilinear + channel 1 floor in one
+    pipeline pass) == the two single-mode kernels."""
+    from sobfu_tpu.ops.pallas_kernels import (
+        window_warp_pallas,
+        window_warp_pallas_mixed,
+    )
+
+    dims = (16, 16, 32)
+    rng = np.random.default_rng(9)
+    tsdf = jnp.asarray(rng.standard_normal(dims), jnp.float32)
+    weight = jnp.asarray(rng.integers(0, 64, dims), jnp.float32)
+    psi = fields.identity_field(dims) + jnp.asarray(
+        rng.uniform(-1.8, 1.8, (3,) + dims), jnp.float32
+    )
+    tri, flo = window_warp_pallas_mixed(tsdf, weight, psi, K=2, interpret=True)
+    tri_r = window_warp_pallas(tsdf, psi, K=2, interpret=True)
+    flo_r = window_warp_pallas(weight, psi, K=2, floor=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(tri), np.asarray(tri_r), atol=0)
+    np.testing.assert_allclose(np.asarray(flo), np.asarray(flo_r), atol=0)
