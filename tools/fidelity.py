@@ -55,23 +55,41 @@ def make_params(dim, size, iters, alpha=0.1, w_reg=0.4):
 
 
 FUSED = False  # set by main --fused: run the fused Pallas TPU hot loop
+PRODUCTION = False  # set by main --production: the full round-3 config
 
 
 def solve(p, phi_global, phi_n, warp_window=None, momentum=0.9):
     """Run the solver in the production configuration (heavy-ball momentum;
-    the tightened budgets certify what production actually ships)."""
+    the tightened budgets certify what production actually ships).
+
+    --production instead runs the FULL round-3 configuration (2-level
+    pyramid + compositive K=1 fine level + momentum 0.95 + 4e-3-voxel
+    stop + data-energy stall net) so the quality gates certify exactly
+    what bench.py and USAGE §5 ship. Single solves have no previous
+    frame, so the inverse runs its cold 48 steps."""
     taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
     psi = fields.identity_field(phi_global.dims_zyx)
     fused = FUSED and warp_window is not None
+    taps_static = (
+        tuple(float(t) for t in np.asarray(taps)) if fused else None
+    )
+    if PRODUCTION:
+        dim = phi_global.dims_zyx[0]
+        return solver.estimate_psi_pyramid(
+            psi, phi_global.tsdf, phi_global.weight, phi_n.tsdf,
+            phi_n.weight, taps, jnp.float32(p.alpha), jnp.float32(p.w_reg),
+            jnp.int32(p.max_iter), jnp.float32(4e-3 * dim / 128.0),
+            levels=2, warp_window=warp_window or 2, fine_window=1,
+            momentum=0.95, stall_window=16, stall_rel=1e-2,
+            inverse_iters=48, fused_db=fused, taps_static=taps_static,
+        )
     return solver.estimate_psi(
         psi, phi_global.tsdf, phi_global.weight, phi_n.tsdf, phi_n.weight,
         taps, jnp.float32(p.alpha), jnp.float32(p.w_reg),
         jnp.int32(p.max_iter), jnp.float32(p.max_update_norm),
         inverse_iters=48, warp_window=warp_window, momentum=momentum,
         fused_db=fused,
-        taps_static=(
-            tuple(float(t) for t in np.asarray(taps)) if fused else None
-        ),
+        taps_static=taps_static,
     )
 
 
@@ -313,6 +331,15 @@ def scenario_multiframe_accumulation(dim, iters, warp_window, n_frames=10):
     p = make_params(dim, size, iters, alpha=0.15, w_reg=0.2)
     p.momentum = 0.9
     p.warp_window = warp_window or 4
+    if PRODUCTION:
+        # the full round-3 production pipeline, incl. the warm 4-step
+        # inverse (auto with warp_window) across the frame sequence
+        p.momentum = 0.95
+        p.pyramid_levels = 2
+        p.fine_window = 1
+        p.stall_window = 16
+        p.stall_rel = 1e-2
+        p.max_update_norm = 4e-3 * dim / 128.0
     p.intr = type(p.intr)(fx=70.0 * dim / 64, fy=70.0 * dim / 64,
                           cx=47.5, cy=35.5)
     p.bilateral_kernel_size = 5
@@ -384,15 +411,21 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--fused", action="store_true",
                     help="run the fused Pallas hot loop (TPU, dims X%%128==0)")
+    ap.add_argument("--production", action="store_true",
+                    help="run the full round-3 production config (pyramid + "
+                    "K=1 compositive fine level + momentum .95 + 4e-3 stop + "
+                    "stall net) through the same quality gates")
     ap.add_argument(
         "--scenarios", default="all",
         help="comma list from translation,expansion,rotation,bending,"
         "accumulation (default all) — e.g. the 128^3 CI lane runs a subset",
     )
     args = ap.parse_args(argv)
+    global FUSED, PRODUCTION
     if args.fused:
-        global FUSED
         FUSED = True
+    if args.production:
+        PRODUCTION = True
 
     runners = {
         "translation": lambda: scenario_sphere_translation(
