@@ -88,6 +88,125 @@ def _shift_x_edge(a: jnp.ndarray, o: int, X: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Y-FOLDED layout helpers (true 128-lane packing for X=64 grids)
+#
+# A (Z, Y, X=64) volume reshaped to (Z, Y//2, 128) puts y-PAIRS side by
+# side in the lane dim (the reshape is free: y-major rows are already
+# contiguous). Lane l holds (y = 2*row + l//64, x = l % 64). Unlike the
+# edge-padding lane packer (x_pad_to), NO lanes are dead — the VPU-bound
+# fused body runs at full width, ~2x the padded variant at 64^3.
+# ---------------------------------------------------------------------------
+
+
+def _shift_x_fold(a: jnp.ndarray, o: int, X: int) -> jnp.ndarray:
+    """a[..., seg, x + o] per lane segment with per-segment edge clamping
+    (folded layout: 128 lanes = 2 segments of X=64)."""
+    if o == 0:
+        return a
+    L = a.shape[-1]
+    rolled = pltpu.roll(a, (-o) % L, axis=a.ndim - 1)
+    lx = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    seg_hi = lx >= X
+    xx = lx % X
+    if o > 0:
+        e0 = jax.lax.slice_in_dim(a, X - 1, X, axis=a.ndim - 1)
+        e1 = jax.lax.slice_in_dim(a, 2 * X - 1, 2 * X, axis=a.ndim - 1)
+        edge = jnp.where(seg_hi, e1, e0)
+        return jnp.where(xx >= X - o, edge, rolled)
+    e0 = jax.lax.slice_in_dim(a, 0, 1, axis=a.ndim - 1)
+    e1 = jax.lax.slice_in_dim(a, X, X + 1, axis=a.ndim - 1)
+    edge = jnp.where(seg_hi, e1, e0)
+    return jnp.where(xx < -o, edge, rolled)
+
+
+def _swap_segments(a: jnp.ndarray) -> jnp.ndarray:
+    """Swap the two 64-lane segments (roll by 64 on 128 lanes)."""
+    return pltpu.roll(a, a.shape[-1] // 2, axis=a.ndim - 1)
+
+
+def _shift_y_fold(t: jnp.ndarray, o: int, Hf: int, TYf: int) -> jnp.ndarray:
+    """Center TYf folded rows shifted by o in REAL y, from a tile with Hf
+    folded halo rows on each side of the second-to-last axis.
+
+    Real y = 2*row + seg. y+o lands in segment (seg+o)&1 at folded-row
+    offset (seg+o)>>1 (floor): even o is a pure sublane slice; odd o
+    combines two slices with the segments swapped (a 64-lane roll)."""
+    nd = t.ndim
+    def rows(d):
+        return jax.lax.slice_in_dim(t, Hf + d, Hf + d + TYf, axis=nd - 2)
+    d0 = o >> 1          # offset for output segment 0 (floor division)
+    d1 = (1 + o) >> 1    # offset for output segment 1
+    if o % 2 == 0:
+        return rows(d0)
+    sw0 = _swap_segments(rows(d0))  # its seg0 lanes = input seg1 rows(d0)
+    sw1 = _swap_segments(rows(d1))  # its seg1 lanes = input seg0 rows(d1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, sw0.shape, nd - 1)
+    return jnp.where(lane < t.shape[-1] // 2, sw0, sw1)
+
+
+def fold_y(vol: jnp.ndarray) -> jnp.ndarray:
+    """(..., Z, Y, X) -> (..., Z, Y//2, 2X) folded view (free reshape)."""
+    *lead, Z, Y, X = vol.shape
+    return vol.reshape(*lead, Z, Y // 2, 2 * X)
+
+
+def unfold_y(vol: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`fold_y`."""
+    *lead, Z, Yf, XF = vol.shape
+    return vol.reshape(*lead, Z, Yf * 2, XF // 2)
+
+
+def _yclamp_row_fold(row: jnp.ndarray, lo: bool) -> jnp.ndarray:
+    """Given the first (lo) or last folded row, build the halo row that
+    represents y-clamped positions: both segments replicate the EDGE y
+    (segment 0 of the first row / segment 1 of the last row). Host-side
+    helper (pltpu.roll has no evaluation rule outside a kernel)."""
+    X = row.shape[-1] // 2
+    if lo:  # y < 0 clamps to y=0 = segment 0 of the first row
+        seg = jax.lax.slice_in_dim(row, 0, X, axis=row.ndim - 1)
+    else:  # y >= Y clamps to the last y = segment 1 of the last row
+        seg = jax.lax.slice_in_dim(row, X, 2 * X, axis=row.ndim - 1)
+    return jnp.concatenate([seg, seg], axis=row.ndim - 1)
+
+
+# folded-y halo rows for the fused fold kernel: the body's largest real-y
+# reach is the conv radius 3 + 1 (stencils at the extended dU rows) = 5,
+# and _shift_y_fold(o) reads folded offsets in [o>>1, (1+o)>>1] — |o| <= 5
+# needs 3 rows each side
+_HF = 3
+
+
+def pad_folded(f: jnp.ndarray, H: int = _H, HF: int = _HF) -> jnp.ndarray:
+    """Edge-pad an already-FOLDED (..., Z, Yf, 2X) volume: z halos
+    replicate the edge z-rows (folding does not touch z); folded-y halos
+    hold the y-CLAMPED rows (both segments = the edge y — plain row
+    replication would replicate the edge PAIR, off by one for odd y
+    offsets). The lane dim needs no padding (x clamping is segment-local
+    in-kernel)."""
+    nd = f.ndim
+    zpad = [(0, 0)] * (nd - 3) + [(H, H), (0, 0), (0, 0)]
+    f = jnp.pad(f, zpad, mode="edge")
+    first = jax.lax.slice_in_dim(f, 0, 1, axis=nd - 2)
+    last = jax.lax.slice_in_dim(
+        f, f.shape[nd - 2] - 1, f.shape[nd - 2], axis=nd - 2
+    )
+    lo = jnp.broadcast_to(
+        _yclamp_row_fold(first, True),
+        first.shape[: nd - 2] + (HF,) + first.shape[nd - 1:],
+    )
+    hi = jnp.broadcast_to(
+        _yclamp_row_fold(last, False),
+        last.shape[: nd - 2] + (HF,) + last.shape[nd - 1:],
+    )
+    return jnp.concatenate([lo, f, hi], axis=nd - 2)
+
+
+def pad_for_fold(vol: jnp.ndarray, H: int = _H, HF: int = _HF) -> jnp.ndarray:
+    """Fold a (..., Z, Y, X) volume and edge-pad (see :func:`pad_folded`)."""
+    return pad_folded(fold_y(vol), H, HF)
+
+
+# ---------------------------------------------------------------------------
 # warp-only kernel (the production hot path)
 # ---------------------------------------------------------------------------
 #
@@ -1013,6 +1132,393 @@ def unpad_db(buf: jnp.ndarray, x_logical: int = 0) -> jnp.ndarray:
           slice(_H, buf.shape[nd - 2] - _H),
           slice(None, x_logical or None))
     return buf[sl]
+
+
+# ---------------------------------------------------------------------------
+# Y-FOLDED fused GD iteration (X=64 grids at full 128-lane VPU width)
+# ---------------------------------------------------------------------------
+#
+# The lane-packing path (x_pad_to=128) makes sub-128 grids compile but
+# wastes HALF the VPU on dead lanes at X=64 — and the fused body is
+# VPU-throughput-bound, so the waste is a straight 2x. This variant packs
+# y-PAIRS into the lane dim instead (see the fold helpers above): no dead
+# lanes. The price: x shifts become segment-local (edge clamp per 64-lane
+# segment) and y accesses mix sublane slices with 64-lane segment swaps
+# (odd offsets) — ~15% more VPU ops for 2x more useful lanes.
+
+
+def _gd_tile_compute_fold(
+    sp_ref, st_ref, sg_ref, live_slice, vel_at, psi_out, tnp_out, vel_out,
+    mx_out, iz, alpha, w_reg, *, BZ, TYf, Z, Y, X, K, taps, n_taps, mu,
+    e_out=None
+):
+    """Folded-layout variant of :func:`_gd_tile_compute` (same math; the
+    docstrings there cover the structure). Tiles span the WHOLE folded-y
+    extent: (BZ + 2*_H, TYf + 2*_HF, 2X), real y = 2*row + segment."""
+    R = n_taps // 2
+    Rf = (R + 1) // 2     # folded rows covering the conv reach
+    DZ = BZ + 2 * R
+    DYf = TYf + 2 * Rf
+    XF = 2 * X
+    H, HF = _H, _HF
+    has_vel = vel_at is not None
+    z0 = iz * BZ
+
+    sp = sp_ref[...]
+    st = st_ref[...]
+    sg = sg_ref[...]
+
+    # ---- masks on the extended (DZ, DYf, XF) region ----
+    shape_d = (DZ, DYf, XF)
+    gz = jax.lax.broadcasted_iota(jnp.int32, shape_d, 0) + (z0 - R)
+    gz = jnp.clip(gz, 0, Z - 1)
+    lane_d = jax.lax.broadcasted_iota(jnp.int32, shape_d, 2)
+    seg_d = (lane_d >= X).astype(jnp.int32)
+    ry = 2 * (jax.lax.broadcasted_iota(jnp.int32, shape_d, 1) - Rf) + seg_d
+    gy = jnp.clip(ry, 0, Y - 1)
+    lx_d = lane_d - seg_d * X
+    mz = ((gz > 0) & (gz < Z - 1)).astype(jnp.float32)
+    my = ((gy > 0) & (gy < Y - 1)).astype(jnp.float32)
+    mx = ((lx_d > 0) & (lx_d < X - 1)).astype(jnp.float32)
+
+    oz_off = H - R    # tile z offset of extended row 0
+    oyf = HF - Rf     # tile folded-row offset of extended row 0
+
+    def ext(t, dz=0, oy=0):
+        """Extended region of a full tile, shifted dz in z / oy in REAL y."""
+        tz = t[..., oz_off + dz: oz_off + dz + DZ, :, :]
+        return _shift_y_fold(tz, oy, oyf, DYf)
+
+    def grad_of(c):
+        if c == 0:
+            t_c = ext(st)
+            return (
+                (_shift_x_fold(t_c, 1, X) - _shift_x_fold(t_c, -1, X))
+                * 0.5 * mx
+            )
+        if c == 1:
+            return (ext(st, oy=1) - ext(st, oy=-1)) * 0.5 * my
+        return (ext(st, dz=1) - ext(st, dz=-1)) * 0.5 * mz
+
+    update_sq = None
+    diff = ext(st) - ext(sg)
+    for c in range(3):
+        p_c = sp[c]
+        pce = ext(p_c)
+        lap_x = (
+            _shift_x_fold(pce, 1, X) + _shift_x_fold(pce, -1, X) - 2.0 * pce
+        ) * mx
+        lap_y = (ext(p_c, oy=1) + ext(p_c, oy=-1) - 2.0 * pce) * my
+        lap_z = (ext(p_c, dz=1) + ext(p_c, dz=-1) - 2.0 * pce) * mz
+        neg_lap = -(lap_x + lap_y + lap_z)
+
+        dU = diff * grad_of(c) + w_reg * neg_lap  # (DZ, DYf, XF)
+
+        dU_ctr = dU[R:R + BZ, Rf:Rf + TYf, :]
+        acc = jnp.zeros((BZ, TYf, XF), jnp.float32)
+        for k in range(n_taps):
+            acc = acc + taps[n_taps - 1 - k] * _shift_x_fold(
+                dU_ctr, k - R, X
+            )
+        dU_zc = dU[R:R + BZ]
+        for k in range(n_taps):
+            acc = acc + taps[n_taps - 1 - k] * _shift_y_fold(
+                dU_zc, k - R, Rf, TYf
+            )
+        for k in range(n_taps):
+            acc = acc + taps[n_taps - 1 - k] * dU[k:k + BZ, Rf:Rf + TYf, :]
+
+        if has_vel:
+            v_new = mu * vel_at(c) + acc
+            vel_out[c] = v_new
+            upd = alpha * v_new
+        else:
+            upd = alpha * acc
+        psi_out[c] = sp[c, H:H + BZ, HF:HF + TYf, :] - upd
+        update_sq = upd * upd if update_sq is None else update_sq + upd * upd
+
+    mx_out[:] = jnp.full((1, 8, 128), jnp.max(update_sq), jnp.float32)
+
+    # ---- bounded-window trilinear warp of the live tsdf at psi' ----
+    shape_o = (BZ, TYf, XF)
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2)
+    seg_o = (lane_o >= X).astype(jnp.int32)
+    vx = (lane_o - seg_o * X).astype(jnp.float32)
+    vy = (
+        2 * jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) + seg_o
+    ).astype(jnp.float32)
+    vz = (
+        jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0
+    ).astype(jnp.float32)
+    hi = K - 1e-4
+    dx = jnp.clip(jnp.clip(psi_out[0], 0.0, X - 1) - vx, -K, hi)
+    dy = jnp.clip(jnp.clip(psi_out[1], 0.0, Y - 1) - vy, -K, hi)
+    dz = jnp.clip(jnp.clip(psi_out[2], 0.0, Z - 1) - vz, -K, hi)
+
+    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - ox)) for ox in range(-K, K + 1)]
+    # y handled by FOLDED-ROW reindexing instead of per-oy shifts: the sum
+    # over real offsets oy is re-indexed over folded-row offsets d and
+    # TARGET segment t — live[y + oy] for voxel (row r, seg s) lives at
+    # folded (r + d, t) with oy = 2d + t - s. The t == s ("plain") term is
+    # a free static row slice with hat weight at offset 2d; the t != s
+    # ("swapped") term is ONE segment swap with hat weight at offset
+    # 2d + (1 - 2s). The hat's compact support makes the out-of-window
+    # corner terms vanish automatically. 25 per-oy shifts per z-step (10
+    # of them odd: 2 rolls + select each) become 3 swaps + 6 weight FMAs.
+    # The swapped x-accumulation reuses the UNSWAPPED rows via
+    # sum_ox wx[ox]*swap(p[ox]) == swap(sum_ox swap(wx[ox])*p[ox]).
+    seg_f = seg_o.astype(jnp.float32)
+    swap_delta = 1.0 - 2.0 * seg_f  # +1 on segment 0, -1 on segment 1
+    # folded offsets covering |oy| <= K for BOTH segments (out-of-window
+    # corner terms vanish via the hat support)
+    ds = range(-((K + 1) // 2), (K + 1) // 2 + 1)
+    w_plain = {d: jnp.maximum(0.0, 1.0 - jnp.abs(dy - 2.0 * d)) for d in ds}
+    w_swap = {
+        d: jnp.maximum(0.0, 1.0 - jnp.abs(dy - (2.0 * d + swap_delta)))
+        for d in ds
+    }
+    wxs_sw = [_swap_segments(w) for w in wxs]
+
+    def warp_body(i, acc):
+        oz = i - K
+        lz = live_slice(oz)  # (BZ, TYf + 2*_HF, XF)
+        lxz = [_shift_x_fold(lz, ox, X) for ox in range(-K, K + 1)]
+        acc_y = jnp.zeros(shape_o, jnp.float32)
+        for d in ds:
+            rows = [t[:, HF + d:HF + d + TYf, :] for t in lxz]
+            a = jnp.zeros(shape_o, jnp.float32)
+            b = jnp.zeros(shape_o, jnp.float32)
+            for ox in range(2 * K + 1):
+                a = a + wxs[ox] * rows[ox]
+                b = b + wxs_sw[ox] * rows[ox]
+            acc_y = acc_y + w_plain[d] * a + w_swap[d] * _swap_segments(b)
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32)))
+        return acc + wz * acc_y
+
+    tnp_val = jax.lax.fori_loop(
+        0, 2 * K + 1, warp_body, jnp.zeros(shape_o, jnp.float32)
+    )
+    tnp_out[:] = tnp_val
+
+    if e_out is not None:
+        d = tnp_val - sg[H:H + BZ, HF:HF + TYf, :]
+        e_out[:] = jnp.full((1, 8, 128), jnp.sum(d * d), jnp.float32)
+
+
+def _make_fold_kernel(BZ, TYf, Z, Y, X, K, taps, n_taps, mu, n_tiles,
+                      with_energy=False):
+    """Double-buffered manual-DMA kernel over z-tiles of the folded
+    layout (whole folded-y rows per tile); structure mirrors
+    :func:`_make_db_kernel`."""
+    has_vel = mu is not None
+    BH = BZ + 2 * _H
+    TH = TYf + 2 * _HF
+
+    def kernel(*refs):
+        refs = list(refs)
+        scal_ref = refs.pop(0)
+        if has_vel:
+            (psi_ref, tnp_ref, tg_ref, live_ref, vel_ref,
+             psi_out, tnp_out, vel_out, mx_out, *rest) = refs
+        else:
+            (psi_ref, tnp_ref, tg_ref, live_ref,
+             psi_out, tnp_out, mx_out, *rest) = refs
+            vel_ref = vel_out = s_vel = None
+        e_out = rest.pop(0) if with_energy else None
+        if has_vel:
+            (s_psi, s_tnp, s_tg, s_live, s_vel, sems) = rest
+        else:
+            (s_psi, s_tnp, s_tg, s_live, sems) = rest
+
+        iz = pl.program_id(0)
+        slot = jax.lax.rem(iz, 2)
+        alpha = scal_ref[0]
+        w_reg = scal_ref[1]
+
+        def tile_copies(f, s):
+            zs = f * BZ
+            cps = [
+                pltpu.make_async_copy(
+                    psi_ref.at[:, pl.ds(zs, BH), :, :], s_psi.at[s],
+                    sems.at[s, 0],
+                ),
+                pltpu.make_async_copy(
+                    tnp_ref.at[pl.ds(zs, BH), :, :], s_tnp.at[s],
+                    sems.at[s, 1],
+                ),
+                pltpu.make_async_copy(
+                    tg_ref.at[pl.ds(zs, BH), :, :], s_tg.at[s],
+                    sems.at[s, 2],
+                ),
+                pltpu.make_async_copy(
+                    live_ref.at[pl.ds(zs, BH), :, :], s_live.at[s],
+                    sems.at[s, 3],
+                ),
+            ]
+            if has_vel:
+                cps.append(
+                    pltpu.make_async_copy(
+                        vel_ref.at[:, pl.ds(zs, BZ), :, :], s_vel.at[s],
+                        sems.at[s, 4],
+                    )
+                )
+            return cps
+
+        @pl.when(iz == 0)
+        def _():
+            for c in tile_copies(0, 0):
+                c.start()
+
+        @pl.when(iz + 1 < n_tiles)
+        def _():
+            for c in tile_copies(iz + 1, 1 - slot):
+                c.start()
+
+        for c in tile_copies(iz, slot):
+            c.wait()
+
+        _gd_tile_compute_fold(
+            s_psi.at[slot], s_tnp.at[slot], s_tg.at[slot],
+            lambda oz: s_live[slot, pl.ds(_H + oz, BZ), :, :],
+            (lambda c: s_vel[slot, c]) if has_vel else None,
+            psi_out, tnp_out, vel_out if has_vel else None, mx_out,
+            iz, alpha, w_reg,
+            BZ=BZ, TYf=TYf, Z=Z, Y=Y, X=X, K=K, taps=taps, n_taps=n_taps,
+            mu=mu, e_out=e_out,
+        )
+
+    return kernel
+
+
+def fused_gd_iteration_fold(
+    psi_f: jnp.ndarray,  # f32[3, Z, Yf, 2X] FOLDED, unpadded
+    tnp_f: jnp.ndarray,  # f32[Z, Yf, 2X]
+    vel,  # f32[3, Z, Yf, 2X] or None
+    tg_pad: jnp.ndarray,  # pad_for_fold output (loop-invariant)
+    live_pad: jnp.ndarray,  # pad_for_fold output (loop-invariant)
+    alpha: jnp.ndarray,
+    w_reg: jnp.ndarray,
+    taps_static: Tuple[float, ...],
+    *,
+    K: int = 2,
+    BZ: int = 0,
+    momentum=None,
+    interpret: bool = False,
+    with_energy: bool = False,
+):
+    """One fused solver iteration in the Y-FOLDED layout: returns
+    (psi_f', tnp_f', vel', max||update||^2, e_data) on UNPADDED folded
+    arrays (the per-iteration pad is rebuilt here — at 64^3 the padded
+    buffers are ~1 MB, so the copy is noise). Numerics identical to the
+    lane-packed kernel / XLA window step."""
+    _, Z, Yf, XF = psi_f.shape
+    X = XF // 2
+    Y = Yf * 2
+    n_taps = len(taps_static)
+    assert n_taps % 2 == 1 and n_taps <= 2 * _H - 1
+    assert 1 <= K <= _H
+    assert XF == 128, "fold kernel packs X=64 into 128 lanes"
+    if not BZ:
+        BZ = 16
+        while Z % BZ:
+            BZ //= 2
+    assert Z % BZ == 0
+    nz = Z // BZ
+    mu = float(momentum) if momentum is not None else None
+
+    psi_pad = pad_folded(psi_f)
+    tnp_pad = pad_folded(tnp_f)
+
+    kernel = _make_fold_kernel(
+        BZ, Yf, Z, Y, X, K, taps_static, n_taps, mu, nz,
+        with_energy=with_energy,
+    )
+    BH = BZ + 2 * _H
+    TH = Yf + 2 * _HF
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
+        5 if mu is not None else 4
+    )
+    out_specs = [
+        pl.BlockSpec((3, BZ, Yf, XF), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BZ, Yf, XF), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((3, Z, Yf, XF), jnp.float32),
+        jax.ShapeDtypeStruct((Z, Yf, XF), jnp.float32),
+    ]
+    if mu is not None:
+        out_specs.append(
+            pl.BlockSpec((3, BZ, Yf, XF), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((3, Z, Yf, XF), jnp.float32))
+    out_specs.append(
+        pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    out_shapes.append(jax.ShapeDtypeStruct((nz, 8, 128), jnp.float32))
+    if with_energy:
+        out_specs.append(
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((nz, 8, 128), jnp.float32))
+
+    scratch = [
+        pltpu.VMEM((2, 3, BH, TH, XF), jnp.float32),  # s_psi
+        pltpu.VMEM((2, BH, TH, XF), jnp.float32),  # s_tnp
+        pltpu.VMEM((2, BH, TH, XF), jnp.float32),  # s_tg
+        pltpu.VMEM((2, BH, TH, XF), jnp.float32),  # s_live
+    ]
+    n_in = 4
+    if mu is not None:
+        scratch.append(pltpu.VMEM((2, 3, BZ, Yf, XF), jnp.float32))
+        n_in = 5
+    scratch.append(pltpu.SemaphoreType.DMA((2, n_in)))
+
+    # scoped-vmem: double-buffered halo tiles + out blocks + body temps
+    halo_f = BH * TH * XF
+    out_f = BZ * Yf * XF
+    need = 2 * 6 * halo_f + (8 if mu is not None else 5) * out_f * 2
+    need += (2 * (2 * K + 1) + 8) * out_f + 6 * (BZ + 6) * (Yf + 4) * XF
+    vmem_mb = min(110, max(32, (4 * need >> 20) + 8))
+    cparams = (
+        {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb << 20)}
+        if not interpret
+        else {}
+    )
+
+    scal = jnp.stack([alpha.astype(jnp.float32), w_reg.astype(jnp.float32)])
+    args = [scal, psi_pad, tnp_pad, tg_pad, live_pad]
+    if mu is not None:
+        args.append(vel)
+
+    outs = list(pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **cparams,
+    )(*args))
+
+    e_data = None
+    if with_energy:
+        e_tiles = outs.pop()
+        e_data = 0.5 * jnp.sum(e_tiles[:, 0, 0])
+    if mu is not None:
+        psi_new, tnp_new, vel_new, mx_tiles = outs
+    else:
+        psi_new, tnp_new, mx_tiles = outs
+        vel_new = None
+    return psi_new, tnp_new, vel_new, jnp.max(mx_tiles), e_data
 
 
 @functools.partial(

@@ -505,3 +505,97 @@ def test_window_warp_pallas_mixed_matches_single_mode():
     flo_r = window_warp_pallas(weight, psi, K=2, floor=True, interpret=True)
     np.testing.assert_allclose(np.asarray(tri), np.asarray(tri_r), atol=0)
     np.testing.assert_allclose(np.asarray(flo), np.asarray(flo_r), atol=0)
+
+
+def test_fold_iteration_matches_xla():
+    """Y-folded fused iteration (X=64 packed as y-pairs into 128 lanes —
+    no dead lanes) == the XLA window step, incl. momentum, max-norm and
+    the in-kernel data energy."""
+    from sobfu_tpu.ops.pallas_kernels import (
+        fold_y,
+        fused_gd_iteration_fold,
+        pad_for_fold,
+        unfold_y,
+    )
+    from sobfu_tpu.solver import data_energy
+
+    dims = (16, 64, 64)
+    tg, live, psi, tnp = _setup(dims, seed=13)
+    taps = solver.sobolev_filter_1d(7, 0.1)
+    alpha, w_reg = jnp.float32(0.05), jnp.float32(0.2)
+    rng = np.random.default_rng(17)
+    vel = jnp.asarray(rng.standard_normal((3,) + dims), jnp.float32)
+
+    for mu in (None, 0.9):
+        p_k, t_k, v_k, mx_k, e_k = fused_gd_iteration_fold(
+            fold_y(psi), fold_y(tnp), fold_y(vel) if mu else None,
+            pad_for_fold(tg), pad_for_fold(live), alpha, w_reg,
+            tuple(float(t) for t in taps), K=2, BZ=8,
+            momentum=mu, interpret=True, with_energy=True,
+        )
+        grad = fields.tsdf_gradient(tnp)
+        lap = fields.neg_laplacian(psi)
+        dU_S = solver.sobolev_smooth(
+            (tnp - tg)[None] * grad + w_reg * lap, jnp.asarray(taps)
+        )
+        if mu:
+            v_r = mu * vel + dU_S
+            upd = alpha * v_r
+            np.testing.assert_allclose(
+                np.asarray(unfold_y(v_k)), np.asarray(v_r), atol=1e-5
+            )
+        else:
+            upd = alpha * dU_S
+        psi_r = psi - upd
+        tnp_r = fields.sample_trilinear_window(live, psi_r, 2)
+        np.testing.assert_allclose(
+            np.asarray(unfold_y(p_k)), np.asarray(psi_r), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(unfold_y(t_k)), np.asarray(tnp_r), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(mx_k), float(jnp.max(jnp.sum(upd * upd, axis=0))),
+            rtol=1e-4,
+        )
+        e_r = float(data_energy(tg, tnp_r))
+        assert abs(float(e_k) - e_r) < 1e-3 * max(1.0, abs(e_r))
+
+
+def test_estimate_psi_fold_full_solve():
+    """estimate_psi auto-dispatches X=64 grids to the folded kernel; the
+    full while_loop solve (+ K=1 window and the stall stop) matches the
+    XLA window path."""
+    from sobfu_tpu.tsdf import init_sphere
+
+    dims = (16, 64, 64)
+    vs = 1.0 / 64
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.125, 0.5, 0.5), 0.1,
+                         8 * vs, 3 * vs)
+    tn, wn = init_sphere(dims, (vs,) * 3, (0.125, 0.48, 0.5), 0.11,
+                         8 * vs, 3 * vs)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    for K, stall in ((2, 0), (1, 4)):
+        common = (
+            fields.identity_field(dims), tg, wg, tn, wn, taps,
+            jnp.float32(0.05), jnp.float32(0.2), jnp.int32(10),
+            jnp.float32(-1.0),
+        )
+        ref = solver.estimate_psi(
+            *common, warp_window=K, momentum=0.9,
+            stall_window=stall, stall_rel=1e-3,
+        )
+        fold = solver.estimate_psi(
+            *common, warp_window=K, momentum=0.9,
+            stall_window=stall, stall_rel=1e-3,
+            fused_db=True, taps_static=taps_static, db_interpret=True,
+        )
+        assert int(fold.iters) == int(ref.iters)
+        np.testing.assert_allclose(
+            np.asarray(fold.psi), np.asarray(ref.psi), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fold.tsdf_n_psi), np.asarray(ref.tsdf_n_psi),
+            atol=2e-5,
+        )
