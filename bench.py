@@ -42,6 +42,7 @@ REFERENCE_VOXEL_ITERS_PER_SEC = 2.0 * 2048 * 64**3  # ~1.07e9 (see docstring)
 def solve_time_per_iter(
     dim: int, warp_window: int, n_lo: int, n_hi: int, n_chunks: int = 0,
     conv_mxu: bool = False, fused: bool = False, x_pad: int = 0,
+    inner: int = 0,
 ) -> float:
     """Median per-iteration seconds of the full solve via loop scaling."""
     import numpy as _np
@@ -70,6 +71,7 @@ def solve_time_per_iter(
             res = solver.estimate_psi(
                 *common, inverse_iters=4, warp_window=warp_window,
                 fused_db=True, taps_static=taps_static, x_pad_to=x_pad,
+                inner_steps=inner,
             )
         elif n_chunks:
             res = solver.estimate_psi_chunked(
@@ -156,12 +158,15 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
             # voxel; at 256^3 the 12-step tail was 54% of the frame) + the
             # data-energy stall stop as a safety net (in-kernel energy
             # partials — free)
+            # skip_inv_warps: the no-log production loop never consumes
+            # phi_global o psi_inv (a viz product recomputed on demand);
+            # inverse_iters=3 matches cold-48 to 7e-4 voxel warm-started
             return solver.estimate_psi_pyramid(
                 *common, psi_inv0, levels=3 if dim >= 256 else 2,
                 warp_window=2, momentum=0.95, fine_window=1,
                 stall_window=16, stall_rel=1e-2,
                 fused_db=True, taps_static=taps_static, conv_mxu=conv_mxu,
-                inverse_iters=4,
+                inverse_iters=3, skip_inv_warps=True,
             )
         if chunks:
             return solver.estimate_psi_chunked(
@@ -203,11 +208,26 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
         times.append(time.perf_counter() - t0)
     t_solve = min(times)
 
+    # STEADY-STATE throughput: the per-frame fetch above pays the axon
+    # tunnel RTT (~22 ms measured, tools/profile_tails.py) INSIDE every
+    # sample — latency a pipelined production loop hides behind the next
+    # frame's compute (jax async dispatch). Queue 4 frames back-to-back
+    # with ONE trailing sync: total/4 is the per-frame DEVICE time, the
+    # honest serving-throughput number. Latency-inclusive fps above is
+    # kept as the conservative headline.
+    t_best_pipe = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rs = [run_mom_steady() for _ in range(4)]
+        _ = float(rs[-1].max_norm)
+        t_best_pipe = min(t_best_pipe, (time.perf_counter() - t0) / 4)
+
     from sobfu_tpu.solver import data_energy
     e_final = float(data_energy(tg, res.tsdf_n_psi))
 
     out = {
         "fps": round(1.0 / t_solve, 2),
+        "fps_steady": round(1.0 / t_best_pipe, 2),
         "iters": iters,
         "e_final": round(e_final, 4),
     }
@@ -276,16 +296,18 @@ def main():
     voxel_iters_per_sec = dim**3 / per_iter
 
     # the reference's own headline workload: 64^3 at 2048 iters -> ~2 fps.
-    # On TPU this now runs the LANE-PACKED fused kernel (x edge-padded to
-    # the 128-lane Mosaic minimum); XLA fallback if the compile helper is
-    # down. (CPU smoke runs measure a 16^3 stand-in.)
+    # On TPU this runs the Y-FOLDED fused kernel in VMEM-RESIDENT
+    # multi-iteration chunks (inner_steps=16: 16 GD iterations per launch,
+    # no HBM state round-trip between them — exact for this fixed-iteration
+    # workload since 16 | 64, 512, 2048); XLA fallback if the compile
+    # helper is down. (CPU smoke runs measure a 16^3 stand-in.)
     dim_ref = 64 if on_tpu else 16
     per_iter_64 = None
     if on_tpu:
         try:
             per_iter_64 = _with_retries(
                 lambda: solve_time_per_iter(
-                    dim_ref, K, n_lo, n_hi, fused=True, x_pad=128
+                    dim_ref, K, n_lo, n_hi, fused=True, x_pad=128, inner=16
                 ),
                 attempts=2,
             )

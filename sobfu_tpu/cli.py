@@ -131,6 +131,12 @@ def main(argv=None) -> int:
         args.enable_viz or args.enable_viz_detailed or args.color_mesh
         or args.live_viz
     )
+    # phi_global o psi_inv is only consumed by the per-frame viz surfaces;
+    # without them the frame step skips those two warps (SolveResult
+    # pass-throughs) and get_phi_global_psi_inv_mesh recomputes on demand
+    fusion.need_inv_warps = bool(
+        args.enable_viz or args.enable_viz_detailed or args.live_viz
+    )
 
     def frame_stream():
         """(index, masked uint16 depth) frames. Prefers the native C++

@@ -254,6 +254,129 @@ def _downsample2_local(vol: jnp.ndarray) -> jnp.ndarray:
     return v.mean(axis=(-5, -3, -1))
 
 
+def _gd_loop_local(
+    psi_l, tg_l, live_l, live_src, taps, alpha, w_reg, max_iter, thresh,
+    z0, axis, K, *, fused=False, taps_static=None, momentum=None,
+    interpret=False, stall_window=0, stall_rel=1e-3,
+):
+    """The windowed/exact GD while_loop on local z-blocks (inside shard_map).
+
+    Shared by the standalone sharded solve and the full frame step — ONE
+    maintained loop body for every multi-chip configuration.
+
+    live_src: the warp source — K-halo-extended ``live_l`` (windowed mode)
+    or the full all-gathered volume (K=None, exact mode). For a compositive
+    fine level, pass the pre-warped T0 as live_l/live_src and the global
+    identity as psi_l: the loop then solves for id + delta verbatim (the
+    identity's masked Laplacian vanishes), mirroring the single-chip
+    :func:`sobfu_tpu.solver.estimate_psi_compositive` fused_db note.
+
+    stall_window/stall_rel: data-energy stall stop (production safety net,
+    solver.py gd_step semantics): e = 0.5 * psum |tnp - tg|^2 checked every
+    ``stall_window`` iterations against the previous checkpoint — one extra
+    scalar psum per iteration, nothing leaves the devices.
+
+    Returns (psi_l, tnp_l, iters, max_norm).
+    """
+    if K is None:
+        tnp0 = fields.sample_trilinear(live_src, psi_l)
+    else:
+        tnp0 = _sample_window_local(live_src, psi_l, z0, K)
+
+    if fused:
+        H = 4
+        z_global = tg_l.shape[-3] * jax.lax.axis_size(axis)
+        tg_pad_f = jnp.pad(
+            _halo_exchange_z(tg_l, H, axis), [(0, 0), (H, H), (0, 0)],
+            mode="edge",
+        )
+        live_pad_f = jnp.pad(
+            _halo_exchange_z(live_l, H, axis), [(0, 0), (H, H), (0, 0)],
+            mode="edge",
+        )
+
+    vel0 = jnp.zeros_like(psi_l) if momentum is not None else jnp.float32(0.0)
+    inf = jnp.float32(jnp.inf)
+
+    def cond(state):
+        _, _, it, mnorm, _, _, stalled = state
+        return (it < max_iter) & (mnorm > thresh) & jnp.logical_not(stalled)
+
+    def body(state):
+        psi_l, tnp_l, it, _, vel_l, e_ref, stalled = state
+        if fused:
+            psi_l, tnp_l, vel_l, mnorm = _gd_step_local_fused(
+                psi_l, tnp_l, tg_pad_f, live_pad_f, taps_static, alpha,
+                w_reg, z0, axis, K, z_global, interpret, vel_l, momentum,
+            )
+        else:
+            psi_l, tnp_l, vel_l, mnorm = _gd_step_local(
+                psi_l, tnp_l, tg_l, live_src, taps, alpha, w_reg, z0, axis,
+                K, vel_l, momentum,
+            )
+        if stall_window:
+            it1 = it + 1
+            d = tnp_l - tg_l
+            e_now = 0.5 * jax.lax.psum(jnp.sum(d * d), axis)
+            at_check = (it1 % stall_window) == 0
+            stalled = stalled | (
+                at_check
+                & (it1 >= 2 * stall_window)
+                & (e_ref - e_now < jnp.float32(stall_rel) * jnp.abs(e_now))
+            )
+            e_ref = jnp.where(at_check, e_now, e_ref)
+        return psi_l, tnp_l, it + 1, mnorm, vel_l, e_ref, stalled
+
+    psi_l, tnp_l, iters, mnorm, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (psi_l, tnp0, jnp.int32(0), inf, vel0, inf, jnp.bool_(False)),
+    )
+    return psi_l, tnp_l, iters, mnorm
+
+
+def _pyramid_warmstart_local(
+    psi_l, tg_l, tn_l, taps, alpha, w_reg, thresh, z0, axis, K, levels,
+    coarse_its, momentum,
+):
+    """Coarse-to-fine warm start on LOCAL blocks (z stays sharded at every
+    level; halo exchange works identically). Mirrors the single-chip
+    :func:`sobfu_tpu.solver.estimate_psi_pyramid` coarse levels: plain
+    windowed steps (coarse work is cheap; the fused kernel's lane
+    constraints need not hold there), displacement upsampled per shard.
+
+    Returns (psi_l warm-started at full level, total coarse iterations).
+    """
+    pyr = [(tg_l, tn_l)]
+    for _ in range(levels - 1):
+        a, b = pyr[-1]
+        pyr.append((_downsample2_local(a), _downsample2_local(b)))
+    f = 2 ** (levels - 1)
+    ident_l0 = fields.identity_field(
+        psi_l.shape[-3:], psi_l.dtype
+    ).at[2].add(z0.astype(psi_l.dtype))
+    disp = _downsample2_local(psi_l - ident_l0)
+    for _ in range(levels - 2):
+        disp = _downsample2_local(disp)
+    disp = disp * jnp.float32(1.0 / f)
+    total_coarse = jnp.int32(0)
+    for lev in range(levels - 1, 0, -1):
+        tg_c, tn_c = pyr[lev]
+        nl_c = tg_c.shape[-3]
+        z0_c = jax.lax.axis_index(axis) * nl_c
+        ident_c = fields.identity_field(
+            tg_c.shape[-3:], psi_l.dtype
+        ).at[2].add(z0_c.astype(psi_l.dtype))
+        tn_src_c = _halo_exchange_z(tn_c, K, axis)
+        psi_c, _, it_c, _ = _gd_loop_local(
+            ident_c + disp, tg_c, tn_c, tn_src_c, taps, alpha, w_reg,
+            coarse_its, thresh, z0_c, axis, K, momentum=momentum,
+        )
+        total_coarse = total_coarse + it_c
+        up = pyr[lev - 1][0].shape[-3:]
+        disp = _upsample2_disp_local(psi_c - ident_c, up)
+    return ident_l0 + disp, total_coarse
+
+
 def _upsample2_disp_local(disp: jnp.ndarray, dims_zyx) -> jnp.ndarray:
     """Trilinearly upsample a local displacement block 2x, doubling the
     displacement VALUES (voxel-unit change). Per-shard resize: the z seam
@@ -269,7 +392,10 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
                               taps_static=None, momentum=None,
                               warm_inverse: bool = False,
                               pyramid_levels: int = 1,
-                              coarse_max_iter=None):
+                              coarse_max_iter=None,
+                              fine_window=None,
+                              stall_window: int = 0,
+                              stall_rel: float = 1e-3):
     """Build a jit-compiled sharded solve for the given mesh.
 
     Returns fn(psi, tsdf_global, weight_global, tsdf_n, weight_n, taps,
@@ -289,59 +415,23 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
     identically at every level), displacement upsampled per shard as the
     next level's warm start — the multi-chip mirror of
     :func:`sobfu_tpu.solver.estimate_psi_pyramid`.
+
+    fine_window: run the FINE level compositively with this (smaller)
+    increment window — the multi-chip mirror of the single-chip production
+    fine level (solver.estimate_psi_pyramid fine_window): T0 = live warped
+    by the coarse psi0 ONCE (window ``warp_window``), the loop solves for
+    the bounded increment at ``fine_window`` halos, and the composed total
+    field psi0 o (id + delta) needs only one more fine_window halo
+    exchange of psi0's displacement. Requires warp_window (the total
+    bound). stall_window/stall_rel: data-energy stall stop on the fine
+    level (see :func:`_gd_loop_local`).
     """
     axis = "z"
     if fused:
         assert warp_window is not None and taps_static is not None
-        interp = jax.devices()[0].platform == "cpu"
-
-    def gd_loop(psi_l, tg_l, tn_l, tn_src, taps, alpha, w_reg, max_iter,
-                thresh, z0, use_fused):
-        """The windowed/fused GD while_loop on one level's local blocks."""
-        K = warp_window
-        if K is None:
-            tnp0 = fields.sample_trilinear(tn_src, psi_l)
-        else:
-            tnp0 = _sample_window_local(tn_src, psi_l, z0, K)
-
-        if use_fused:
-            H = 4
-            z_global = tn_l.shape[-3] * jax.lax.axis_size(axis)
-            tg_pad_f = jnp.pad(
-                _halo_exchange_z(tg_l, H, axis),
-                [(0, 0), (H, H), (0, 0)], mode="edge",
-            )
-            live_pad_f = jnp.pad(
-                _halo_exchange_z(tn_l, H, axis),
-                [(0, 0), (H, H), (0, 0)], mode="edge",
-            )
-
-        vel0 = (
-            jnp.zeros_like(psi_l) if momentum is not None else jnp.float32(0.0)
-        )
-
-        def cond(state):
-            return (state[2] < max_iter) & (state[3] > thresh)
-
-        def body(state):
-            psi_l, tnp_l, it, _, vel_l = state
-            if use_fused:
-                psi_l, tnp_l, vel_l, mnorm = _gd_step_local_fused(
-                    psi_l, tnp_l, tg_pad_f, live_pad_f, taps_static,
-                    alpha, w_reg, z0, axis, K, z_global, interp,
-                    vel_l, momentum,
-                )
-            else:
-                psi_l, tnp_l, vel_l, mnorm = _gd_step_local(
-                    psi_l, tnp_l, tg_l, tn_src, taps, alpha, w_reg, z0, axis,
-                    warp_window, vel_l, momentum,
-                )
-            return psi_l, tnp_l, it + 1, mnorm, vel_l
-
-        psi_l, tnp_l, iters, mnorm, _ = jax.lax.while_loop(
-            cond, body, (psi_l, tnp0, jnp.int32(0), jnp.float32(jnp.inf), vel0)
-        )
-        return psi_l, tnp_l, iters, mnorm
+    if fine_window is not None:
+        assert warp_window is not None, "fine_window requires warp_window"
+    interp = jax.devices()[0].platform == "cpu"
 
     def local_solve(psi_l, tg_l, wg_l, tn_l, wn_l, taps, alpha, w_reg,
                     max_iter, thresh, psi_inv0_l=None):
@@ -360,46 +450,41 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
 
         total_coarse = jnp.int32(0)
         if pyramid_levels > 1 and K is not None:
-            # coarse-to-fine: downsample LOCAL blocks (z stays sharded),
-            # solve with the plain windowed step (coarse work is cheap;
-            # the fused kernel's lane constraints need not hold there),
-            # upsample the displacement as the fine level's warm start.
-            pyr = [(tg_l, tn_l)]
-            for _ in range(pyramid_levels - 1):
-                a, b = pyr[-1]
-                pyr.append((_downsample2_local(a), _downsample2_local(b)))
-            f = 2 ** (pyramid_levels - 1)
-            ident_l0 = fields.identity_field(
-                psi_l.shape[-3:], psi_l.dtype
-            ).at[2].add(z0.astype(psi_l.dtype))
-            disp = _downsample2_local(psi_l - ident_l0)
-            for _ in range(pyramid_levels - 2):
-                disp = _downsample2_local(disp)
-            disp = disp * jnp.float32(1.0 / f)
             c_its = jnp.int32(
                 coarse_max_iter if coarse_max_iter is not None else max_iter
             )
-            for lev in range(pyramid_levels - 1, 0, -1):
-                tg_c, tn_c = pyr[lev]
-                nl_c = tg_c.shape[-3]
-                z0_c = jax.lax.axis_index(axis) * nl_c
-                ident_c = fields.identity_field(
-                    tg_c.shape[-3:], psi_l.dtype
-                ).at[2].add(z0_c.astype(psi_l.dtype))
-                tn_src_c = _halo_exchange_z(tn_c, K, axis)
-                psi_c, _, it_c, _ = gd_loop(
-                    ident_c + disp, tg_c, tn_c, tn_src_c, taps, alpha,
-                    w_reg, c_its, thresh, z0_c, False,
-                )
-                total_coarse = total_coarse + it_c
-                up = pyr[lev - 1][0].shape[-3:]
-                disp = _upsample2_disp_local(psi_c - ident_c, up)
-            psi_l = ident_l0 + disp
+            psi_l, total_coarse = _pyramid_warmstart_local(
+                psi_l, tg_l, tn_l, taps, alpha, w_reg, thresh, z0, axis, K,
+                pyramid_levels, c_its, momentum,
+            )
 
-        psi_l, tnp_l, iters, mnorm = gd_loop(
-            psi_l, tg_l, tn_l, tn_src, taps, alpha, w_reg, max_iter, thresh,
-            z0, fused,
-        )
+        if fine_window is not None:
+            # compositive fine level: T0 once at the total window, the
+            # increment loop at the (cheaper) fine_window halos
+            ident_l = fields.identity_field(
+                psi_l.shape[-3:], psi_l.dtype
+            ).at[2].add(z0.astype(psi_l.dtype))
+            t0_l = _sample_window_local(tn_src, psi_l, z0, K)
+            t0_src = _halo_exchange_z(t0_l, fine_window, axis)
+            g_l, tnp_l, iters, mnorm = _gd_loop_local(
+                ident_l, tg_l, t0_l, t0_src, taps, alpha, w_reg, max_iter,
+                thresh, z0, axis, fine_window, fused=fused,
+                taps_static=taps_static, momentum=momentum, interpret=interp,
+                stall_window=stall_window, stall_rel=stall_rel,
+            )
+            # compose: psi_new = psi0 o g, |g - id| <= fine_window. Sample
+            # the ABSOLUTE psi0 field (exactly the single-chip composition,
+            # solver.py estimate_psi_compositive total_window tail — the
+            # samplers' edge clamp then matches at the global boundary).
+            psi0_e = _halo_exchange_z(psi_l, fine_window, axis)
+            psi_l = _sample_window_local(psi0_e, g_l, z0, fine_window)
+        else:
+            psi_l, tnp_l, iters, mnorm = _gd_loop_local(
+                psi_l, tg_l, tn_l, tn_src, taps, alpha, w_reg, max_iter,
+                thresh, z0, axis, K, fused=fused, taps_static=taps_static,
+                momentum=momentum, interpret=interp,
+                stall_window=stall_window, stall_rel=stall_rel,
+            )
         iters = iters + total_coarse
 
         ident_l = fields.identity_field(
@@ -489,7 +574,9 @@ def estimate_psi_sharded(mesh: Mesh, psi, tsdf_global, weight_global, tsdf_n,
 def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
                     inverse_iters: int = 8, warp_window=None,
                     fused: bool = False, taps_static=None, momentum=None,
-                    warm_inverse: bool = False):
+                    warm_inverse: bool = False, pyramid_levels: int = 1,
+                    coarse_max_iter=None, fine_window=None,
+                    stall_window: int = 0, stall_rel: float = 1e-3):
     """One full frame step (integrate -> solve -> fuse) over a
     ('scene', 'z') mesh: scenes are data-parallel, the grid is z-sharded.
 
@@ -505,7 +592,10 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
     Pallas iterations; needs warp_window + taps_static), momentum
     (heavy-ball, shard-local velocity), warm_inverse (extra trailing
     psi_inv0_b operand warm-starting the inverse fixed point — pair with a
-    reduced inverse_iters).
+    reduced inverse_iters), pyramid_levels/coarse_max_iter (coarse-to-fine
+    warm start on local blocks), fine_window (compositive fine level) and
+    stall_window/stall_rel (data-energy stall stop) — the full round-3
+    single-chip production configuration, multi-chip.
     """
     from jax import shard_map
     from sobfu_tpu.tsdf import integrate_dists, fuse_volumes
@@ -518,9 +608,17 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
         f"local z-block {local_dims[0]} smaller than the halo radius 4; "
         f"use fewer z-shards for a {Z}-deep grid"
     )
+    if pyramid_levels > 1:
+        assert local_dims[0] // 2 ** (pyramid_levels - 1) >= 4, (
+            f"coarsest local z-block "
+            f"{local_dims[0] // 2 ** (pyramid_levels - 1)} smaller than the "
+            f"halo radius 4; use fewer pyramid levels or z-shards"
+        )
     if fused:
         assert warp_window is not None and taps_static is not None
-        interp = jax.devices()[0].platform == "cpu"
+    if fine_window is not None:
+        assert warp_window is not None, "fine_window requires warp_window"
+    interp = jax.devices()[0].platform == "cpu"
 
     def per_scene(psi_l, tg_l, wg_l, dists, vol2cam, psi_inv0_l, intr,
                   voxel_sizes, trunc, eta, max_weight, taps, alpha, w_reg,
@@ -534,49 +632,41 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
 
         if K is None:
             tn_src = jax.lax.all_gather(tn_l, axis, axis=0, tiled=True)
-            tnp0 = fields.sample_trilinear(tn_src, psi_l)
         else:
             tn_src = _halo_exchange_z(tn_l, K, axis)
-            tnp0 = _sample_window_local(tn_src, psi_l, z0, K)
 
-        if fused:
-            H = 4
-            z_global = local_dims[0] * jax.lax.axis_size(axis)
-            tg_pad_f = jnp.pad(
-                _halo_exchange_z(tg_l, H, axis),
-                [(0, 0), (H, H), (0, 0)], mode="edge",
+        total_coarse = jnp.int32(0)
+        if pyramid_levels > 1 and K is not None:
+            c_its = jnp.int32(
+                coarse_max_iter if coarse_max_iter is not None else max_iter
             )
-            live_pad_f = jnp.pad(
-                _halo_exchange_z(tn_l, H, axis),
-                [(0, 0), (H, H), (0, 0)], mode="edge",
+            psi_l, total_coarse = _pyramid_warmstart_local(
+                psi_l, tg_l, tn_l, taps, alpha, w_reg, thresh, z0, axis, K,
+                pyramid_levels, c_its, momentum,
             )
 
-        vel0 = (
-            jnp.zeros_like(psi_l) if momentum is not None else jnp.float32(0.0)
-        )
-
-        def cond(state):
-            return (state[2] < max_iter) & (state[3] > thresh)
-
-        def body(state):
-            psi_l, tnp_l, it, _, vel_l = state
-            if fused:
-                psi_l, tnp_l, vel_l, mnorm = _gd_step_local_fused(
-                    psi_l, tnp_l, tg_pad_f, live_pad_f, taps_static,
-                    alpha, w_reg, z0, axis, K, z_global, interp,
-                    vel_l, momentum,
-                )
-            else:
-                psi_l, tnp_l, vel_l, mnorm = _gd_step_local(
-                    psi_l, tnp_l, tg_l, tn_src, taps, alpha, w_reg, z0, axis,
-                    warp_window, vel_l, momentum,
-                )
-            return psi_l, tnp_l, it + 1, mnorm, vel_l
-
-        psi_l, tnp_l, iters, mnorm, _ = jax.lax.while_loop(
-            cond, body,
-            (psi_l, tnp0, jnp.int32(0), jnp.float32(jnp.inf), vel0),
-        )
+        if fine_window is not None:
+            ident_f = fields.identity_field(
+                psi_l.shape[-3:], psi_l.dtype
+            ).at[2].add(z0.astype(psi_l.dtype))
+            t0_l = _sample_window_local(tn_src, psi_l, z0, K)
+            t0_src = _halo_exchange_z(t0_l, fine_window, axis)
+            g_l, tnp_l, iters, mnorm = _gd_loop_local(
+                ident_f, tg_l, t0_l, t0_src, taps, alpha, w_reg, max_iter,
+                thresh, z0, axis, fine_window, fused=fused,
+                taps_static=taps_static, momentum=momentum, interpret=interp,
+                stall_window=stall_window, stall_rel=stall_rel,
+            )
+            psi0_e = _halo_exchange_z(psi_l, fine_window, axis)
+            psi_l = _sample_window_local(psi0_e, g_l, z0, fine_window)
+        else:
+            psi_l, tnp_l, iters, mnorm = _gd_loop_local(
+                psi_l, tg_l, tn_l, tn_src, taps, alpha, w_reg, max_iter,
+                thresh, z0, axis, K, fused=fused, taps_static=taps_static,
+                momentum=momentum, interpret=interp,
+                stall_window=stall_window, stall_rel=stall_rel,
+            )
+        iters = iters + total_coarse
 
         ident_l = fields.identity_field(
             (local_dims[0],) + psi_l.shape[-2:], psi_l.dtype

@@ -46,6 +46,7 @@ from sobfu_tpu.tsdf import TsdfVolume
         "fine_window",
         "stall_window",
         "stall_rel",
+        "skip_inv_warps",
     ),
 )
 def fused_frame_step(
@@ -83,6 +84,7 @@ def fused_frame_step(
     fine_window=None,
     stall_window=0,
     stall_rel=1e-3,
+    skip_inv_warps=False,
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -118,6 +120,7 @@ def fused_frame_step(
             taps_static=taps_static, x_pad_to=x_pad_to,
             fine_window=fine_window,
             stall_window=stall_window, stall_rel=stall_rel,
+            skip_inv_warps=skip_inv_warps,
         )
     elif n_chunks:
         res = solver_mod.estimate_psi_chunked(
@@ -134,6 +137,7 @@ def fused_frame_step(
             conv_mxu=conv_mxu, fused_db=fused_db, taps_static=taps_static,
             x_pad_to=x_pad_to,
             stall_window=stall_window, stall_rel=stall_rel,
+            skip_inv_warps=skip_inv_warps,
         )
 
     tg2, wg2 = fuse_volumes(
@@ -149,6 +153,14 @@ class SobFusion:
         self.params = params
         self.frame_counter = 0
         self.poses = [np.eye(4, dtype=np.float32)]
+        # phi_global o psi_inv is a VISUALISATION product (the reference
+        # extracts its mesh for display, sob_fusion.cpp:43-49). When no
+        # per-frame consumer exists (no --enable-log / viewer), the CLI
+        # sets this False and the two warps are skipped in the frame step
+        # (~9 ms at 256^3); get_phi_global_psi_inv_mesh recomputes them on
+        # demand.
+        self.need_inv_warps = True
+        self._inv_warps_stale = False
 
         self.phi_global: Optional[TsdfVolume] = None
         self.phi_global_psi_inv: Optional[TsdfVolume] = None
@@ -258,14 +270,18 @@ class SobFusion:
                 fine_window=self.solver.fine_window,
                 stall_window=self.solver.stall_window,
                 stall_rel=self.solver.stall_rel,
+                skip_inv_warps=not self.need_inv_warps,
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi
             self.psi_inv.data = res.psi_inv
             self.phi_n_psi.tsdf = res.tsdf_n_psi
             self.phi_n_psi.weight = res.weight_n_psi
-            self.phi_global_psi_inv.tsdf = res.tsdf_global_psi_inv
-            self.phi_global_psi_inv.weight = res.weight_global_psi_inv
+            if self.need_inv_warps:
+                self.phi_global_psi_inv.tsdf = res.tsdf_global_psi_inv
+                self.phi_global_psi_inv.weight = res.weight_global_psi_inv
+            else:
+                self._inv_warps_stale = True
             self.phi_global.tsdf, self.phi_global.weight = tg2, wg2
             self.last_solve = res
         else:
@@ -295,7 +311,31 @@ class SobFusion:
     def get_phi_global_mesh(self):
         return self._get_mesh(self.phi_global)
 
+    def _refresh_inv_warps(self):
+        """Recompute phi_global o psi_inv on demand (skipped in the frame
+        step when no per-frame consumer exists — see need_inv_warps)."""
+        from sobfu_tpu import fields
+
+        K = self.solver.warp_window
+        tg, wg = self.phi_global.tsdf, self.phi_global.weight
+        inv = self.psi_inv.data
+        if K is not None:
+            self.phi_global_psi_inv.tsdf = fields.sample_trilinear_window(
+                tg, inv, max_disp=K
+            )
+            self.phi_global_psi_inv.weight = (
+                fields.sample_nearest_floor_window(wg, inv, max_disp=K)
+            )
+        else:
+            self.phi_global_psi_inv.tsdf = fields.sample_trilinear(tg, inv)
+            self.phi_global_psi_inv.weight = fields.sample_nearest_floor(
+                wg, inv
+            )
+        self._inv_warps_stale = False
+
     def get_phi_global_psi_inv_mesh(self):
+        if self._inv_warps_stale:
+            self._refresh_inv_warps()
         return self._get_mesh(self.phi_global_psi_inv)
 
     def get_phi_n_mesh(self):

@@ -213,9 +213,11 @@ def sobolev_smooth(
         "fused_db",
         "db_interpret",
         "x_pad_to",
+        "inner_steps",
         "stall_window",
         "stall_rel",
         "skip_tails",
+        "skip_inv_warps",
     ),
 )
 def estimate_psi(
@@ -245,9 +247,11 @@ def estimate_psi(
     fused_db: bool = False,
     db_interpret: bool = False,
     x_pad_to: int = 0,
+    inner_steps: int = 0,
     stall_window: int = 0,
     stall_rel: float = 1e-3,
     skip_tails: bool = False,
+    skip_inv_warps: bool = False,
 ) -> SolveResult:
     """Run the full warp-field solve for one frame; everything stays on device.
 
@@ -285,6 +289,17 @@ def estimate_psi(
     64^3 headline workload) compile under Mosaic; results on real lanes are
     identical. Only meaningful with fused_db.
 
+    inner_steps: on the Y-FOLDED fused path (X=64 grids), run this many GD
+    iterations per kernel launch with ALL loop state VMEM-resident
+    (:func:`sobfu_tpu.ops.pallas_kernels.fused_gd_multi_fold`) — no HBM
+    state round-trip or pad rebuild between iterations. The while_loop
+    then steps in chunks: the convergence/stall stop is checked every
+    ``inner_steps`` iterations (each chunk's LAST per-iteration norm /
+    energy — may overshoot the single-step stop by up to inner_steps - 1
+    iterations; exact for fixed-iteration runs with max_iter divisible by
+    inner_steps). Requires stall_window % inner_steps == 0 and no
+    record_energy. 0/1 = one kernel launch per iteration.
+
     skip_tails: skip the per-solve tail computations entirely — the
     inverse-field fixed point and the final psi_inv / weight warps — and
     return pass-through placeholders for them (psi_inv = psi,
@@ -293,6 +308,15 @@ def estimate_psi(
     tails cost more than the entire coarse iteration loop. The weight
     volumes are untouched in this mode (the GD loop never reads them), so
     callers may pass placeholders for them too.
+
+    skip_inv_warps: skip the phi_global / weight_global warps by psi_inv
+    (return pass-throughs for tsdf_global_psi_inv / weight_global_psi_inv)
+    while still computing psi_inv itself (needed as the next frame's warm
+    start). Those two warped volumes exist for VISUALISATION — the
+    reference extracts phi_global o psi_inv meshes for display
+    (sob_fusion.cpp:43-49) — and are dead work in a no-log production
+    loop (~9 ms/frame at 256^3). The pipeline recomputes them on demand
+    when a mesh/log consumer asks.
 
     stall_window / stall_rel: DATA-ENERGY STALL detector (TPU extension;
     0 = off, exact reference stopping semantics). In warm-started frame
@@ -357,12 +381,15 @@ def estimate_psi(
             fused_gd_iteration_db_padded,
             fused_gd_iteration_fold,
             fused_gd_iteration_pp,
+            fused_gd_multi_fold,
             pad_for_db,
             pad_for_fold,
             pad_for_pp,
+            pad_folded,
             refresh_padded,
             unfold_y,
             unpad_db,
+            unpad_folded,
             unpad_pp,
         )
 
@@ -376,12 +403,22 @@ def estimate_psi(
         # headline workload runs here)
         use_fold = Xd * 2 == 128 and Yd % 2 == 0 and Zd % 8 == 0
         use_pp = False
+        use_multi = use_fold and inner_steps > 1
         if use_fold:
             xl_db = 0
             tg_pad_db = pad_for_fold(tsdf_global)
             live_pad_db = pad_for_fold(tsdf_n)
-            pad_st = lambda a, _x=0: fold_y(a)  # noqa: E731
-            unpad_st = lambda a, _x=0: unfold_y(a)  # noqa: E731
+            if use_multi:
+                # VMEM-resident multi-iteration chunks: padded loop state
+                assert not record_energy, (
+                    "inner_steps: per-iteration energy history unavailable"
+                )
+                assert stall_window == 0 or stall_window % inner_steps == 0
+                pad_st = lambda a, _x=0: pad_folded(fold_y(a))  # noqa: E731
+                unpad_st = lambda a, _x=0: unfold_y(unpad_folded(a))  # noqa: E731
+            else:
+                pad_st = lambda a, _x=0: fold_y(a)  # noqa: E731
+                unpad_st = lambda a, _x=0: unfold_y(a)  # noqa: E731
         else:
             # ping-pong variant: the kernel writes the padded state itself
             # (no per-iteration refresh copies) — needs >= 2 tiles per axis
@@ -396,11 +433,35 @@ def estimate_psi(
             pad_st = pad_for_pp if use_pp else pad_for_db
             unpad_st = unpad_pp if use_pp else unpad_db
 
+    step_n = inner_steps if (fused_db and use_fold and use_multi) else 1
+
     def gd_step(state: SolverState) -> SolverState:
         psi, tsdf_n_psi = state.psi, state.tsdf_n_psi
 
         e_kern = None
-        if fused_db and use_fold:
+        if fused_db and use_fold and use_multi:
+            # inner_steps iterations per launch, state VMEM-resident
+            psi_new, tsdf_new, vel_new, mx_vec, e_vec = fused_gd_multi_fold(
+                psi,
+                tsdf_n_psi,
+                state.vel if momentum is not None else None,
+                tg_pad_db,
+                live_pad_db,
+                alpha,
+                w_reg,
+                taps_static,
+                K=warp_window,
+                n_inner=inner_steps,
+                momentum=momentum,
+                interpret=db_interpret,
+                with_energy=stall_window > 0,
+            )
+            if momentum is None:
+                vel_new = state.vel
+            mnorm = jnp.sqrt(mx_vec[-1])
+            if e_vec is not None:
+                e_kern = e_vec[-1]
+        elif fused_db and use_fold:
             # state carries the UNPADDED FOLDED arrays (the per-iteration
             # pad rebuild is ~1 MB at 64^3 — noise)
             psi_new, tsdf_new, vel_new, mx_sq, e_kern = (
@@ -523,7 +584,7 @@ def estimate_psi(
             # the kernel (e_kern): any outside reduction over the padded
             # loop state forces XLA to copy it each iteration (the pallas
             # custom-call may alias it) — also ~2x, measured 2026-08-17.
-            it1 = state.iter + 1
+            it1 = state.iter + step_n
             if e_kern is not None:
                 e_now = e_kern
             else:
@@ -538,7 +599,7 @@ def estimate_psi(
             e_ref = jnp.where(at_check, e_now, e_ref)
 
         return SolverState(
-            psi_new, tsdf_new, state.iter + 1, mnorm, energy, vel_new,
+            psi_new, tsdf_new, state.iter + step_n, mnorm, energy, vel_new,
             e_ref, stalled,
         )
 
@@ -578,7 +639,10 @@ def estimate_psi(
         weight_n_psi = weight_n
     else:
         psi_inv = inverse(psi_final, init=psi_inv0)
-        if warp_mixed is not None:
+        if skip_inv_warps:
+            tsdf_g_inv = tsdf_global
+            weight_g_inv = weight_global
+        elif warp_mixed is not None:
             # tsdf (trilinear) + weight (floor) at the same psi_inv in
             # ONE pipeline pass — shares the psi DMA and tile overhead
             tsdf_g_inv, weight_g_inv = warp_mixed(
@@ -712,6 +776,7 @@ def estimate_psi_pyramid(
     fine_window: Optional[int] = None,
     stall_window: int = 0,
     stall_rel: float = 1e-3,
+    skip_inv_warps: bool = False,
 ) -> SolveResult:
     """Coarse-to-fine wrapper around :func:`estimate_psi` (host-level
     orchestration; each level's solve is the usual jitted program).
@@ -824,6 +889,7 @@ def estimate_psi_pyramid(
             x_pad_to=x_pad_to,
             stall_window=stall_window,
             stall_rel=stall_rel,
+            skip_inv_warps=skip_inv_warps,
         )
     else:
         res = estimate_psi(
@@ -841,6 +907,7 @@ def estimate_psi_pyramid(
             x_pad_to=x_pad_to,
             stall_window=stall_window,
             stall_rel=stall_rel,
+            skip_inv_warps=skip_inv_warps,
         )
     return res._replace(iters=res.iters + total_coarse)
 
@@ -945,12 +1012,14 @@ class Solver:
         )
         inv_iters = getattr(params, "inverse_iters", None)
         if inv_iters is None:
-            # warm default 4: the Sobolev-smoothed field contracts the
-            # fixed point ~10x/step — warm-started 4 matches cold 48 to
-            # 1e-4 voxel (max diff AND composition residual, measured at
-            # 256^3; BENCHLOG 2026-08-18). At 256^3 each step is ~9 ms:
-            # the 12-step default was 54% of the whole production frame.
-            inv_iters = 4 if self.inverse_warm else 48
+            # warm default 3: the Sobolev-smoothed field contracts the
+            # fixed point ~10x/step — warm-started 3 matches cold 48 to
+            # 7e-4 voxel and warm-4 to 1e-4 (max diff AND composition
+            # residual, measured at 256^3; BENCHLOG 2026-08-18). At 256^3
+            # each step is ~9.4 ms — a third of the remaining tails —
+            # and the fidelity --production gates (incl. 10-frame drift)
+            # hold at 3.
+            inv_iters = 3 if self.inverse_warm else 48
         self.inverse_iters = int(inv_iters)
 
     def estimate_psi(self, phi_global, phi_global_psi_inv, phi_n, phi_n_psi,
@@ -1099,7 +1168,7 @@ class Solver:
         "inverse_iters", "warp_window", "n_chunks", "record_energy",
         "energy_cap", "conv_mxu", "inv_window_iters", "inv_refine_iters",
         "momentum", "fused_db", "taps_static", "db_interpret", "x_pad_to",
-        "total_window", "stall_window", "stall_rel",
+        "total_window", "stall_window", "stall_rel", "skip_inv_warps",
     ),
 )
 def estimate_psi_compositive(
@@ -1131,6 +1200,7 @@ def estimate_psi_compositive(
     total_window: int = 0,
     stall_window: int = 0,
     stall_rel: float = 1e-3,
+    skip_inv_warps: bool = False,
 ) -> SolveResult:
     """Compositive-update solve: UNBOUNDED total deformation at window speed.
 
@@ -1438,14 +1508,22 @@ def estimate_psi_compositive(
             psi0, ident + final.psi, max_disp=warp_window
         )
         psi_inv = compose_inverse(psi_new, final.psi)
-        tsdf_g_inv = tw_scalar(tsdf_global, psi_inv)
-        weight_g_inv = tw_floor(weight_global, psi_inv)
+        if skip_inv_warps:  # see the estimate_psi docstring
+            tsdf_g_inv, weight_g_inv = tsdf_global, weight_global
+        else:
+            tsdf_g_inv = tw_scalar(tsdf_global, psi_inv)
+            weight_g_inv = tw_floor(weight_global, psi_inv)
         weight_n_psi = tw_floor(weight_n, psi_new)
     else:
         psi_new = fields.sample_field_trilinear(psi0, ident + final.psi)
         psi_inv = compose_inverse(psi_new, final.psi)
-        tsdf_g_inv = fields.sample_trilinear(tsdf_global, psi_inv)
-        weight_g_inv = fields.sample_nearest_floor(weight_global, psi_inv)
+        if skip_inv_warps:
+            tsdf_g_inv, weight_g_inv = tsdf_global, weight_global
+        else:
+            tsdf_g_inv = fields.sample_trilinear(tsdf_global, psi_inv)
+            weight_g_inv = fields.sample_nearest_floor(
+                weight_global, psi_inv
+            )
         weight_n_psi = fields.sample_nearest_floor(weight_n, psi_new)
 
     return SolveResult(

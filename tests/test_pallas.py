@@ -599,3 +599,80 @@ def test_estimate_psi_fold_full_solve():
             np.asarray(fold.tsdf_n_psi), np.asarray(ref.tsdf_n_psi),
             atol=2e-5,
         )
+
+
+def test_multi_fold_matches_chained_single():
+    """The VMEM-resident multi-iteration fold kernel (n_inner GD steps per
+    launch) is BIT-EXACT against n_inner chained single-iteration fold
+    calls — state, velocity, per-iteration max-norms AND energies."""
+    from sobfu_tpu.ops.pallas_kernels import (
+        fold_y,
+        fused_gd_iteration_fold,
+        fused_gd_multi_fold,
+        pad_folded,
+        pad_for_fold,
+        unpad_folded,
+    )
+
+    dims = (16, 16, 64)
+    tg, live, psi, tnp = _setup(dims, seed=23)
+    taps = tuple(float(t) for t in solver.sobolev_filter_1d(7, 0.1))
+    alpha, w_reg = jnp.float32(0.05), jnp.float32(0.2)
+    tg_pad, live_pad = pad_for_fold(tg), pad_for_fold(live)
+    psi_f, tnp_f = fold_y(psi), fold_y(tnp)
+    vel0 = jnp.zeros_like(psi_f)
+
+    p, t, v = psi_f, tnp_f, vel0
+    mxs, es = [], []
+    for _ in range(3):
+        p, t, v, mx, e = fused_gd_iteration_fold(
+            p, t, v, tg_pad, live_pad, alpha, w_reg, taps, K=2,
+            momentum=0.9, interpret=True, with_energy=True,
+        )
+        mxs.append(float(mx))
+        es.append(float(e))
+
+    pm, tm, vm, mxv, ev = fused_gd_multi_fold(
+        pad_folded(psi_f), pad_folded(tnp_f), vel0, tg_pad, live_pad,
+        alpha, w_reg, taps, K=2, n_inner=3, momentum=0.9, interpret=True,
+        with_energy=True,
+    )
+    np.testing.assert_array_equal(np.asarray(unpad_folded(pm)), np.asarray(p))
+    np.testing.assert_array_equal(np.asarray(unpad_folded(tm)), np.asarray(t))
+    np.testing.assert_array_equal(np.asarray(vm), np.asarray(v))
+    np.testing.assert_allclose(np.asarray(mxv), np.asarray(mxs), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(es), rtol=1e-6)
+
+
+def test_estimate_psi_inner_steps_matches_single_step():
+    """estimate_psi(inner_steps=4) on the fold path == the single-step fold
+    dispatch for a fixed iteration budget divisible by the chunk."""
+    dims = (16, 16, 64)
+    tg, live, _, _ = _setup(dims, seed=29)
+    wg = jnp.ones(dims, jnp.float32)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    psi = fields.identity_field(dims)
+    args = (jnp.float32(0.05), jnp.float32(0.2), jnp.int32(8),
+            jnp.float32(-1.0))
+
+    ref = solver.estimate_psi(
+        psi, tg, wg, live, wg, taps, *args, inverse_iters=2, warp_window=2,
+        momentum=0.9, fused_db=True, taps_static=taps_static,
+        db_interpret=True,
+    )
+    multi = solver.estimate_psi(
+        psi, tg, wg, live, wg, taps, *args, inverse_iters=2, warp_window=2,
+        momentum=0.9, fused_db=True, taps_static=taps_static,
+        db_interpret=True, inner_steps=4,
+    )
+    assert int(multi.iters) == 8
+    np.testing.assert_allclose(
+        np.asarray(multi.psi), np.asarray(ref.psi), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(multi.tsdf_n_psi), np.asarray(ref.tsdf_n_psi), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(multi.max_norm), float(ref.max_norm), rtol=1e-5
+    )

@@ -331,3 +331,133 @@ def test_sharded_512_lowering_no_all_gather():
     assert "all_gather" not in txt and "all-gather" not in txt
     # halo exchange is present (collective_permute is how ppermute lowers)
     assert "collective_permute" in txt
+
+
+def test_sharded_fine_window_matches_single_chip_compositive():
+    """Round-3 production parity: the sharded COMPOSITIVE fine level
+    (fine_window) — T0 warped once at the total window, increment loop at
+    fine_window halos, one composition exchange — matches the single-chip
+    estimate_psi_compositive with the same psi0/windows (STATUS r3 gap 4:
+    fine_window was single-chip-only)."""
+    tg, wg, tn, wn = _scene(1.5 * SIZE / DIM)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    dims = (DIM, DIM, DIM)
+    ident = fields.identity_field(dims)
+    # a smooth sub-voxel psi0 (plays the upsampled coarse field)
+    zz = jnp.linspace(0.0, np.pi, DIM)
+    bump = 0.6 * jnp.sin(zz)[None, :, None, None] * jnp.ones((3,) + dims)
+    psi0 = ident + bump
+    args = (jnp.float32(0.1), jnp.float32(0.4), jnp.int32(10), jnp.float32(-1.0))
+
+    ref = solver.estimate_psi_compositive(
+        psi0, tg, wg, tn, wn, taps, *args, None,
+        inverse_iters=8, warp_window=1, total_window=2, momentum=0.9,
+    )
+
+    mesh = make_mesh(n_z=4)
+    fn = make_sharded_estimate_psi(
+        mesh, inverse_iters=8, warp_window=2, fine_window=1, momentum=0.9,
+    )
+    psi_s, psi_inv_s, tnp_s, _, _, _, iters_s, mn_s = fn(
+        psi0, tg, wg, tn, wn, taps, *args
+    )
+    assert int(iters_s) == 10
+    np.testing.assert_allclose(np.asarray(psi_s), np.asarray(ref.psi), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(tnp_s), np.asarray(ref.tsdf_n_psi), atol=2e-5
+    )
+    np.testing.assert_allclose(float(mn_s), float(ref.max_norm), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(psi_inv_s), np.asarray(ref.psi_inv), atol=1e-3
+    )
+
+
+def test_sharded_fine_window_fused_matches_xla():
+    """The fused per-shard kernel on the compositive fine level (interpret
+    mode on the CPU mesh) == the sharded XLA fine_window solve."""
+    tg, wg, tn, wn = _scene(1.5 * SIZE / DIM)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    psi = fields.identity_field((DIM, DIM, DIM))
+    args = (jnp.float32(0.1), jnp.float32(0.4), jnp.int32(8), jnp.float32(-1.0))
+
+    mesh = make_mesh(n_z=4)
+    xla = make_sharded_estimate_psi(
+        mesh, inverse_iters=4, warp_window=2, fine_window=1, momentum=0.9,
+    )(psi, tg, wg, tn, wn, taps, *args)
+    fus = make_sharded_estimate_psi(
+        mesh, inverse_iters=4, warp_window=2, fine_window=1, momentum=0.9,
+        fused=True, taps_static=taps_static,
+    )(psi, tg, wg, tn, wn, taps, *args)
+
+    np.testing.assert_allclose(
+        np.asarray(fus[0]), np.asarray(xla[0]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fus[2]), np.asarray(xla[2]), atol=2e-5
+    )
+
+
+def test_sharded_stall_stop_matches_single_chip():
+    """The sharded data-energy stall stop fires at the same iteration as the
+    single-chip solver's (identical energy + checkpoint semantics; the psum
+    makes the energy global, so every shard stops together)."""
+    tg, wg, tn, wn = _scene(1.0 * SIZE / DIM)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    psi = fields.identity_field((DIM, DIM, DIM))
+    # generous rel threshold so the stall (not the cap/norm) is the stop
+    args = (jnp.float32(0.1), jnp.float32(0.4), jnp.int32(64), jnp.float32(-1.0))
+
+    ref = solver.estimate_psi(
+        psi, tg, wg, tn, wn, taps, *args, inverse_iters=2, warp_window=2,
+        momentum=0.9, stall_window=4, stall_rel=0.5,
+    )
+    mesh = make_mesh(n_z=4)
+    fn = make_sharded_estimate_psi(
+        mesh, inverse_iters=2, warp_window=2, momentum=0.9,
+        stall_window=4, stall_rel=0.5,
+    )
+    out = fn(psi, tg, wg, tn, wn, taps, *args)
+    assert int(out[6]) < 64, "stall stop never fired"
+    assert int(out[6]) == int(ref.iters), (int(out[6]), int(ref.iters))
+
+
+def test_frame_step_production_round3_config():
+    """The FULL round-3 production configuration — pyramid + compositive
+    fine level + momentum + warm inverse + stall net + fused per-shard
+    kernels — compiles and runs multi-chip through make_frame_step."""
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    mesh = make_mesh(n_z=4, n_scene=2)
+    dims_zyx = (32, 16, 16)
+    S = 2
+    vs = SIZE / 32
+    step, shardings = make_frame_step(
+        mesh, dims_zyx, inverse_iters=4, warp_window=2, fused=True,
+        taps_static=taps_static, momentum=0.95, warm_inverse=True,
+        pyramid_levels=2, fine_window=1, stall_window=8, stall_rel=1e-2,
+    )
+    psi1 = fields.identity_field(dims_zyx)
+    psi_b = jnp.broadcast_to(psi1[None], (S,) + psi1.shape)
+    tg_b = jnp.ones((S,) + dims_zyx, jnp.float32)
+    wg_b = jnp.ones((S,) + dims_zyx, jnp.float32)
+    H, W = 24, 32
+    dists_b = jnp.full((S, H, W), 0.5, jnp.float32)
+    vol2cam = np.eye(4, dtype=np.float32)
+    vol2cam[:3, 3] = (-SIZE / 2, -SIZE / 2, 0.2)
+    vol2cam_b = jnp.broadcast_to(jnp.asarray(vol2cam)[None], (S, 4, 4))
+    out = step(
+        psi_b, tg_b, wg_b, dists_b, vol2cam_b,
+        jnp.asarray([20.0, 20.0, W / 2, H / 2], jnp.float32),
+        jnp.asarray([vs, vs, vs], jnp.float32),
+        jnp.float32(10 * vs), jnp.float32(2 * vs), jnp.float32(64.0),
+        taps, jnp.float32(0.05), jnp.float32(0.2),
+        jnp.int32(3), jnp.float32(1e-8), psi_b,
+    )
+    psi_out, psi_inv_out, tg_out, wg_out, iters, mnorm = out
+    assert psi_out.shape == (S, 3) + dims_zyx
+    assert np.isfinite(np.asarray(tg_out)).all()
+    assert np.isfinite(np.asarray(psi_out)).all()
+    # the flat synthetic scene can converge in 1 iteration per level; the
+    # point here is that the full production config compiles + runs
+    assert int(np.asarray(iters)[0]) >= 2  # >= 1 coarse + 1 fine
