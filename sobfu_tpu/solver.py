@@ -1343,34 +1343,71 @@ def estimate_psi_compositive(
     if fused_db:
         from sobfu_tpu.ops.pallas_kernels import (
             _db_tiles,
+            fold_y,
             fused_gd_iteration_db_padded,
+            fused_gd_iteration_fold,
             fused_gd_iteration_pp,
             pad_for_db,
+            pad_for_fold,
             pad_for_pp,
             refresh_padded,
+            unfold_y,
             unpad_db,
             unpad_pp,
         )
 
         assert taps_static is not None, "fused_db requires taps_static"
         xl_db = tsdf_n.shape[2] if x_pad_to > tsdf_n.shape[2] else 0
-        Zd, Yd = tsdf_n.shape[0], tsdf_n.shape[1]
-        _bz, _ty = _db_tiles(Zd, Yd, x_pad_to or tsdf_n.shape[2])
-        use_pp = Zd // _bz >= 2 and Yd // _ty >= 2
-        if use_pp:
-            tg_pad_db = pad_for_pp(tsdf_global, x_pad_to)
-            t0_pad_db = pad_for_pp(t0, x_pad_to)
+        Zd, Yd, Xd = tsdf_n.shape
+        # Y-FOLDED path for X=64 grids, exactly as in the additive
+        # estimate_psi: the increment loop runs the same kernel body (live
+        # = T0, state = id + delta), so the fold applies verbatim — no
+        # dead padding lanes on the VPU-bound body
+        use_fold = Xd * 2 == 128 and Yd % 2 == 0 and Zd % 8 == 0
+        use_pp = False
+        if use_fold:
+            xl_db = 0
+            tg_pad_db = pad_for_fold(tsdf_global)
+            t0_pad_db = pad_for_fold(t0)
+            pad_st = lambda a, _x=0: fold_y(a)  # noqa: E731
+            unpad_st = lambda a, _x=0: unfold_y(a)  # noqa: E731
         else:
-            tg_pad_db = pad_for_db(tsdf_global, x_pad_to)
-            t0_pad_db = pad_for_db(t0, x_pad_to)
-        pad_st = pad_for_pp if use_pp else pad_for_db
-        unpad_st = unpad_pp if use_pp else unpad_db
+            _bz, _ty = _db_tiles(Zd, Yd, x_pad_to or Xd)
+            use_pp = Zd // _bz >= 2 and Yd // _ty >= 2
+            if use_pp:
+                tg_pad_db = pad_for_pp(tsdf_global, x_pad_to)
+                t0_pad_db = pad_for_pp(t0, x_pad_to)
+            else:
+                tg_pad_db = pad_for_db(tsdf_global, x_pad_to)
+                t0_pad_db = pad_for_db(t0, x_pad_to)
+            pad_st = pad_for_pp if use_pp else pad_for_db
+            unpad_st = unpad_pp if use_pp else unpad_db
 
     def gd_step(state: SolverState) -> SolverState:
         delta, tnp = state.psi, state.tsdf_n_psi  # 'psi' slot holds delta
 
         e_kern = None
-        if fused_db:
+        if fused_db and use_fold:
+            # state carries the FOLDED (id + delta) and tnp arrays
+            psi_f, tnp_f, vel_new, mx_sq, e_kern = fused_gd_iteration_fold(
+                delta,
+                tnp,
+                state.vel if momentum is not None else None,
+                tg_pad_db,
+                t0_pad_db,
+                alpha,
+                w_reg,
+                taps_static,
+                K=warp_window,
+                momentum=momentum,
+                interpret=db_interpret,
+                with_energy=stall_window > 0,
+            )
+            delta_new, tnp_new = psi_f, tnp_f
+            if momentum is None:
+                vel_new = state.vel
+            mnorm = jnp.sqrt(mx_sq)
+        elif fused_db:
             # state carries EDGE-PADDED (id + delta) and tnp; the fused
             # kernel computes the compositive update verbatim (see the
             # fused_db note in the docstring)
@@ -1479,7 +1516,9 @@ def estimate_psi_compositive(
 
     if momentum is not None:
         vel_dims = psi0.shape
-        if fused_db and xl_db:
+        if fused_db and use_fold:
+            vel_dims = (3, Zd, Yd // 2, Xd * 2)  # folded
+        elif fused_db and xl_db:
             vel_dims = psi0.shape[:-1] + (x_pad_to,)
         vel0 = jnp.zeros(vel_dims, jnp.float32)
     else:

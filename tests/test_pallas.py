@@ -391,6 +391,47 @@ def test_compositive_fused_matches_xla(momentum):
 
 
 @pytest.mark.parametrize("momentum", [None, 0.9])
+def test_compositive_fold_matches_xla(momentum):
+    """Compositive mode at X=64 dispatches the Y-FOLDED kernel (round-3
+    STATUS gap 5 — it lane-packed with half the VPU dead before); full
+    solve == the XLA compositive loop, momentum + stall stop included."""
+    from sobfu_tpu.tsdf import init_sphere
+
+    dims = (16, 64, 64)
+    vs = 1.0 / 64
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.125, 0.5, 0.5), 0.1,
+                         8 * vs, 3 * vs)
+    tn, wn = init_sphere(dims, (vs,) * 3, (0.125, 0.48, 0.5), 0.11,
+                         8 * vs, 3 * vs)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    rng = np.random.default_rng(7)
+    psi0 = fields.identity_field(dims) + 0.2 * jnp.asarray(
+        rng.standard_normal((3,) + dims), jnp.float32
+    )
+    common = (psi0, tg, wg, tn, wn, taps,
+              jnp.float32(0.05), jnp.float32(0.2),
+              jnp.int32(8), jnp.float32(-1.0))
+    ref = solver.estimate_psi_compositive(
+        *common, warp_window=1, inverse_iters=4, momentum=momentum,
+        stall_window=4, stall_rel=1e-3,
+    )
+    fus = solver.estimate_psi_compositive(
+        *common, warp_window=1, inverse_iters=4, momentum=momentum,
+        stall_window=4, stall_rel=1e-3,
+        fused_db=True, taps_static=taps_static, db_interpret=True,
+    )
+    assert int(fus.iters) == int(ref.iters) == 8
+    np.testing.assert_allclose(
+        np.asarray(fus.psi), np.asarray(ref.psi), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fus.tsdf_n_psi), np.asarray(ref.tsdf_n_psi), atol=2e-5
+    )
+    assert abs(float(fus.max_norm) - float(ref.max_norm)) < 1e-6
+
+
+@pytest.mark.parametrize("momentum", [None, 0.9])
 def test_estimate_psi_pingpong_full_solve(momentum):
     """estimate_psi's ping-pong fused dispatch (multi-tile grids: the
     kernel writes the padded loop state itself, no refresh copies) == the
