@@ -107,6 +107,41 @@ def solve_time_per_iter(
     return float((t_hi_min - t_lo_min) / (n_hi - n_lo))
 
 
+def window1_exact_diff_vox(dim: int, iters: int = 512) -> float:
+    """max |psi_K1 - psi_K2| in voxels after ``iters`` plain-GD iterations
+    on the headline scene. The windowed warp is EXACT whenever the
+    displacement stays inside the window; this scene's bulk motion is
+    ~0.6 voxel, so K=1 should reproduce K=2 bit-for-bit — measured, not
+    assumed: the K=1 headline row is only recorded when this returns ~0."""
+    import numpy as _np
+
+    from sobfu_tpu import fields, solver
+    from sobfu_tpu.tsdf import init_sphere
+
+    vs = 1.0 / dim
+    dims = (dim, dim, dim)
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.2,
+                         8 * vs, 3 * vs)
+    tn, wn = init_sphere(dims, (vs,) * 3, (0.49, 0.5, 0.5), 0.2,
+                         8 * vs, 3 * vs)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    ts = tuple(float(t) for t in _np.asarray(taps))
+    common = (
+        fields.identity_field(dims), tg, wg, tn, wn, taps,
+        jnp.float32(0.05), jnp.float32(0.2),
+        jnp.int32(iters), jnp.float32(-1.0),
+    )
+    r1 = solver.estimate_psi(
+        *common, inverse_iters=4, warp_window=1,
+        fused_db=True, taps_static=ts, inner_steps=16,
+    )
+    r2 = solver.estimate_psi(
+        *common, inverse_iters=4, warp_window=2,
+        fused_db=True, taps_static=ts, inner_steps=16,
+    )
+    return float(jnp.max(jnp.abs(r1.psi - r2.psi)))
+
+
 def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> dict:
     """Production-mode solve (momentum 0.9 + windowed warp + MXU convs) run
     to an actual convergence threshold, with plain reference-semantics GD as
@@ -303,14 +338,32 @@ def main():
     # helper is down. (CPU smoke runs measure a 16^3 stand-in.)
     dim_ref = 64 if on_tpu else 16
     per_iter_64 = None
+    per_iter_64_k2 = None
+    k64 = K
+    w1_diff = None
     if on_tpu:
         try:
-            per_iter_64 = _with_retries(
+            per_iter_64_k2 = _with_retries(
                 lambda: solve_time_per_iter(
                     dim_ref, K, n_lo, n_hi, fused=True, x_pad=128, inner=16
                 ),
                 attempts=2,
             )
+            per_iter_64 = per_iter_64_k2
+            # the headline scene's displacement stays well inside ONE
+            # voxel, so the K=1 window warp is EXACT for it — verified by
+            # solving at both windows and comparing bit-for-bit. Only then
+            # is the (VPU-lighter) K=1 row the headline.
+            w1_diff = window1_exact_diff_vox(dim_ref)
+            if w1_diff < 1e-5:
+                per_iter_64 = _with_retries(
+                    lambda: solve_time_per_iter(
+                        dim_ref, 1, n_lo, n_hi, fused=True, x_pad=128,
+                        inner=16,
+                    ),
+                    attempts=2,
+                )
+                k64 = 1
         except Exception:  # noqa: BLE001 — Mosaic helper flakiness
             per_iter_64 = None
     if per_iter_64 is None:
@@ -415,6 +468,12 @@ def main():
         ),
         "fps_at_2048_iters": round(1.0 / frame_s_2048, 3),
         f"fps_at_{dim_ref}cubed_2048_iters": round(fps_64, 2),
+        f"fps_at_{dim_ref}cubed_2048_iters_window": k64,
+        f"fps_at_{dim_ref}cubed_2048_iters_k2": (
+            round(1.0 / (per_iter_64_k2 * 2048), 2)
+            if per_iter_64_k2 else None
+        ),
+        "window1_exact_max_diff_vox": w1_diff,
         "voxel_iters_per_sec_256cubed_chunked": (
             round(vox_per_sec_256, 1) if vox_per_sec_256 else None
         ),
