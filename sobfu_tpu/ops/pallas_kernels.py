@@ -2519,3 +2519,164 @@ def fused_gd_multi_fold(
         psi_new, tnp_new, mx_tiles = outs
         vel_new = None
     return psi_new, tnp_new, vel_new, mx_tiles[:, 0, 0], e_data
+
+
+# ---------------------------------------------------------------------------
+# multi-step C=3 inverse fixed-point kernel
+# ---------------------------------------------------------------------------
+#
+# The windowed inverse fixed point q <- ident - disp(q) is POINTWISE in q:
+# q(v) depends only on q(v) itself and on disp values within K voxels of v
+# (|q - ident| <= max|disp| <= K by the window bound, at EVERY step — the
+# bound is not cumulative). So all n steps can run per-tile in ONE pipeline
+# launch against the same loop-invariant disp halo tile, and the per-step
+# hat weights are computed ONCE for all three channels (the single-channel
+# warp kernel recomputes them per channel because channels ride its grid).
+# At 256^3 this replaces 3-4 single-channel passes x 3 channels of HBM
+# round trips with one pass — the warm-inverse tail was ~28 ms of the
+# ~103 ms production frame (docs/BENCHLOG.md round-3 tail attack).
+# Matches fields.estimate_inverse_window semantics exactly
+# (vector_fields.cu:111-138 fixed point, window sampler).
+
+
+def _make_inverse_multi_kernel(BZ, TY, Y, X, K, Zg, n_steps):
+    def kernel(vol_ref, q_ref, out_ref):
+        # vol_ref: f32[1, 1, 3, BZ+2K, TY+2K, X] disp halo tile ([x, y, z])
+        # q_ref / out_ref: f32[3, BZ, TY, X] absolute coords
+        iz = pl.program_id(0)
+        iy = pl.program_id(1)
+        z0 = iz * BZ
+        y0 = iy * TY
+        shape_o = (BZ, TY, X)
+        vx = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2).astype(
+            jnp.float32
+        )
+        vy = (jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) + y0).astype(
+            jnp.float32
+        )
+        vz = (jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0).astype(
+            jnp.float32
+        )
+        hi = K - 1e-4
+
+        def step_body(_, q3):
+            qx, qy, qz = q3
+            dx = jnp.clip(jnp.clip(qx, 0.0, X - 1) - vx, -K, hi)
+            dy = jnp.clip(jnp.clip(qy, 0.0, Y - 1) - vy, -K, hi)
+            dz = jnp.clip(jnp.clip(qz, 0.0, Zg - 1) - vz, -K, hi)
+            # per-axis weights once per STEP (shared by all 3 channels)
+            wxs = [
+                jnp.maximum(0.0, 1.0 - jnp.abs(dx - ox))
+                for ox in range(-K, K + 1)
+            ]
+            wys = [
+                jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy))
+                for oy in range(-K, K + 1)
+            ]
+
+            def warp_body(i, accs):
+                oz = i - K
+                wz = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32))
+                )
+                outs = []
+                for c in range(3):
+                    lz = vol_ref[0, 0, c, pl.ds(K + oz, BZ), :, :]
+                    lxz = [
+                        _shift_x_edge(lz, ox, X) for ox in range(-K, K + 1)
+                    ]
+                    acc_y = jnp.zeros(shape_o, jnp.float32)
+                    for oy in range(-K, K + 1):
+                        acc_x = jnp.zeros(shape_o, jnp.float32)
+                        for ox in range(-K, K + 1):
+                            lzy = lxz[ox + K][:, K + oy : K + oy + TY, :]
+                            acc_x = acc_x + wxs[ox + K] * lzy
+                        acc_y = acc_y + wys[oy + K] * acc_x
+                    outs.append(accs[c] + wz * acc_y)
+                return tuple(outs)
+
+            z3 = (
+                jnp.zeros(shape_o, jnp.float32),
+                jnp.zeros(shape_o, jnp.float32),
+                jnp.zeros(shape_o, jnp.float32),
+            )
+            ax, ay, az = jax.lax.fori_loop(0, 2 * K + 1, warp_body, z3)
+            return (vx - ax, vy - ay, vz - az)
+
+        qx, qy, qz = jax.lax.fori_loop(
+            0, n_steps, step_body, (q_ref[0], q_ref[1], q_ref[2])
+        )
+        out_ref[0] = qx
+        out_ref[1] = qy
+        out_ref[2] = qz
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "K", "BZ", "TY", "interpret")
+)
+def estimate_inverse_window_pallas_multi(
+    psi: jnp.ndarray,
+    iters: int = 3,
+    K: int = 2,
+    BZ: int = 8,
+    TY: int = 0,
+    init=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """All ``iters`` windowed inverse fixed-point steps in ONE pipelined
+    Pallas launch (see the module comment above): the disp halo tiles are
+    stacked once and every step runs per-tile in VMEM with shared per-step
+    weights. Exact vs step-chained :func:`estimate_inverse_window_pallas`
+    / fields.estimate_inverse_window. ``init`` warm-starts (previous
+    frame's inverse); None = identity."""
+    dims = psi.shape[1:]
+    Z, Y, X = dims
+    zz = jax.lax.broadcasted_iota(jnp.float32, dims, 0)
+    yy = jax.lax.broadcasted_iota(jnp.float32, dims, 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, dims, 2)
+    ident = jnp.stack([xx, yy, zz], axis=0)
+    disp = psi - ident
+    # C=3 halo tiles + 3-channel q live per grid step: keep tiles small
+    # (BZ=8, TY<=32 at X=256 is ~9 MB incl. weights/shift temps)
+    if TY == 0:
+        TY = Y
+        while TY > 8 and TY * X > 32 * 256:
+            TY //= 2
+        while Y % TY:
+            TY //= 2
+    while Z % BZ:
+        BZ //= 2
+    disp_t = prestack_warp_vol(disp, K, BZ, TY)
+    q0 = ident if init is None else init
+
+    cparams = (
+        {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20)}
+        if not interpret
+        else {}
+    )
+    return pl.pallas_call(
+        _make_inverse_multi_kernel(BZ, TY, Y, X, K, Z, iters),
+        grid=(Z // BZ, Y // TY),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 3, BZ + 2 * K, TY + 2 * K, X),
+                lambda i, j: (i, j, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, BZ, TY, X),
+                lambda i, j: (0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, BZ, TY, X), lambda i, j: (0, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
+        interpret=interpret,
+        **cparams,
+    )(disp_t, q0)

@@ -344,7 +344,7 @@ def estimate_psi(
         # pipelined Pallas warp kernel too; with the loop fused these tails
         # otherwise dominate the frame (48 C=3 window samples in XLA).
         from sobfu_tpu.ops.pallas_kernels import (
-            estimate_inverse_window_pallas,
+            estimate_inverse_window_pallas_multi,
             window_warp_pallas,
             window_warp_pallas_mixed,
         )
@@ -356,8 +356,10 @@ def estimate_psi(
         warp_mixed = functools.partial(
             window_warp_pallas_mixed, K=warp_window
         )
+        # ALL fixed-point steps in one pipeline launch (weights shared
+        # across the 3 channels): 30.5 -> 24.4 ms at 256^3 warm-3
         inverse = functools.partial(
-            estimate_inverse_window_pallas,
+            estimate_inverse_window_pallas_multi,
             iters=inverse_iters,
             K=warp_window,
         )
@@ -1267,7 +1269,7 @@ def estimate_psi_compositive(
         # Mosaic toolchain is up (fused_db) — run the bounded tails through
         # the pipelined Pallas warp kernel, as the additive path does
         from sobfu_tpu.ops.pallas_kernels import (
-            estimate_inverse_window_pallas,
+            estimate_inverse_window_pallas_multi,
             window_warp_pallas,
         )
 
@@ -1275,8 +1277,9 @@ def estimate_psi_compositive(
         tw_floor = functools.partial(
             window_warp_pallas, K=total_window, floor=True
         )
+        # multi-STEP inverse kernel: all fixed-point steps in one launch
         tw_inverse = functools.partial(
-            estimate_inverse_window_pallas, K=total_window
+            estimate_inverse_window_pallas_multi, K=total_window
         )
     elif total_window:
         tw_scalar = functools.partial(

@@ -231,6 +231,39 @@ def test_inverse_window_pallas_matches_xla():
     np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w), atol=1e-5)
 
 
+def test_inverse_multi_kernel_matches_xla():
+    """Multi-STEP C=3 inverse kernel (all fixed-point steps per-tile in
+    one launch, weights shared across channels) ==
+    fields.estimate_inverse_window, cold and warm-started, K=1 and K=2."""
+    from sobfu_tpu.ops.pallas_kernels import (
+        estimate_inverse_window_pallas_multi,
+    )
+
+    dims = (16, 16, 64)
+    rng = np.random.default_rng(5)
+    psi = fields.identity_field(dims) + jnp.asarray(
+        rng.uniform(-1.4, 1.4, (3,) + dims), jnp.float32
+    )
+    for K in (1, 2):
+        out = estimate_inverse_window_pallas_multi(
+            psi, iters=3, K=K, interpret=True
+        )
+        ref = fields.estimate_inverse_window(psi, iters=3, max_disp=K)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    warm = fields.identity_field(dims) + jnp.asarray(
+        rng.uniform(-0.3, 0.3, (3,) + dims), jnp.float32
+    )
+    out_w = estimate_inverse_window_pallas_multi(
+        psi, iters=4, K=2, init=warm, interpret=True
+    )
+    ref_w = fields.estimate_inverse_window(psi, iters=4, max_disp=2,
+                                           init=warm)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w),
+                               atol=1e-5)
+
+
 @pytest.mark.parametrize("momentum", [None, 0.9])
 def test_fused_stacked_iteration_matches_xla(momentum):
     """BlockSpec-stacked small-grid fused iteration == the XLA window step
