@@ -196,12 +196,16 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
             # skip_inv_warps: the no-log production loop never consumes
             # phi_global o psi_inv (a viz product recomputed on demand);
             # inverse_iters=3 matches cold-48 to 7e-4 voxel warm-started
+            # inv_multigrid: coarse-to-fine warm inverse (24.5 -> 14 ms
+            # at 256^3; max 1.5e-3 vox off cold-48, composition residual
+            # identical — tools/check_inverse_multigrid.py)
             return solver.estimate_psi_pyramid(
                 *common, psi_inv0, levels=3 if dim >= 256 else 2,
                 warp_window=2, momentum=0.95, fine_window=1,
                 stall_window=16, stall_rel=1e-2,
                 fused_db=True, taps_static=taps_static, conv_mxu=conv_mxu,
                 inverse_iters=3, skip_inv_warps=True,
+                inv_multigrid=dim >= 128,
             )
         if chunks:
             return solver.estimate_psi_chunked(

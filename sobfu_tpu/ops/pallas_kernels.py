@@ -2539,10 +2539,18 @@ def fused_gd_multi_fold(
 # (vector_fields.cu:111-138 fixed point, window sampler).
 
 
-def _make_inverse_multi_kernel(BZ, TY, Y, X, K, Zg, n_steps):
+def _make_inverse_multi_kernel(BZ, TY, Y, X, K, Zg, n_steps,
+                               sample_only=False):
     def kernel(vol_ref, q_ref, out_ref):
         # vol_ref: f32[1, 1, 3, BZ+2K, TY+2K, X] disp halo tile ([x, y, z])
         # q_ref / out_ref: f32[3, BZ, TY, X] absolute coords
+        #
+        # sample_only: ONE pass that returns the sampled 3-channel field
+        # values at the q positions (shared per-axis weights) instead of
+        # iterating the inverse fixed point — the C=3 bounded-window field
+        # sampler (fields.sample_trilinear_window on a [3,Z,Y,X] field) as
+        # a single pipeline launch; used for the compositive composition
+        # psi0 o (id + delta), solver.py.
         iz = pl.program_id(0)
         iy = pl.program_id(1)
         z0 = iz * BZ
@@ -2601,6 +2609,8 @@ def _make_inverse_multi_kernel(BZ, TY, Y, X, K, Zg, n_steps):
                 jnp.zeros(shape_o, jnp.float32),
             )
             ax, ay, az = jax.lax.fori_loop(0, 2 * K + 1, warp_body, z3)
+            if sample_only:
+                return (ax, ay, az)
             return (vx - ax, vy - ay, vz - az)
 
         qx, qy, qz = jax.lax.fori_loop(
@@ -2680,3 +2690,71 @@ def estimate_inverse_window_pallas_multi(
         interpret=interpret,
         **cparams,
     )(disp_t, q0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "BZ", "TY", "interpret")
+)
+def window_warp_field3_pallas(
+    field: jnp.ndarray,
+    pos: jnp.ndarray,
+    K: int = 1,
+    BZ: int = 8,
+    TY: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bounded-window trilinear sample of a 3-CHANNEL field in ONE launch.
+
+    out[c](v) = trilinear(field[c]) at pos(v), with |pos - v| <= K — the
+    Pallas counterpart of ``fields.sample_trilinear_window`` on a
+    [3, Z, Y, X] field, with the per-axis hat weights computed ONCE and
+    shared by all three channels (three single-channel warp launches
+    recompute them per channel and re-read pos three times). Used for the
+    compositive composition psi_new = psi0 o (id + delta) (solver.py),
+    which profiled at 16 ms @256^3 through the XLA sampler — the single
+    largest non-inverse tail of the production frame.
+
+    Reference semantics: utils.hpp:51-86 trilinear fetch at a warped
+    coordinate, vector_fields.cu field composition.
+    """
+    dims = field.shape[1:]
+    Z, Y, X = dims
+    if TY == 0:
+        TY = Y
+        while TY > 8 and TY * X > 32 * 256:
+            TY //= 2
+        while Y % TY:
+            TY //= 2
+    while Z % BZ:
+        BZ //= 2
+    field_t = prestack_warp_vol(field, K, BZ, TY)
+
+    cparams = (
+        {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20)}
+        if not interpret
+        else {}
+    )
+    return pl.pallas_call(
+        _make_inverse_multi_kernel(BZ, TY, Y, X, K, Z, 1, sample_only=True),
+        grid=(Z // BZ, Y // TY),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 3, BZ + 2 * K, TY + 2 * K, X),
+                lambda i, j: (i, j, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, BZ, TY, X),
+                lambda i, j: (0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, BZ, TY, X), lambda i, j: (0, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
+        interpret=interpret,
+        **cparams,
+    )(field_t, pos)

@@ -47,6 +47,7 @@ from sobfu_tpu.tsdf import TsdfVolume
         "stall_window",
         "stall_rel",
         "skip_inv_warps",
+        "inv_multigrid",
     ),
 )
 def fused_frame_step(
@@ -85,6 +86,7 @@ def fused_frame_step(
     stall_window=0,
     stall_rel=1e-3,
     skip_inv_warps=False,
+    inv_multigrid=False,
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -121,6 +123,7 @@ def fused_frame_step(
             fine_window=fine_window,
             stall_window=stall_window, stall_rel=stall_rel,
             skip_inv_warps=skip_inv_warps,
+            inv_multigrid=inv_multigrid,
         )
     elif n_chunks:
         res = solver_mod.estimate_psi_chunked(
@@ -271,6 +274,7 @@ class SobFusion:
                 stall_window=self.solver.stall_window,
                 stall_rel=self.solver.stall_rel,
                 skip_inv_warps=not self.need_inv_warps,
+                inv_multigrid=self.solver.inv_multigrid,
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi

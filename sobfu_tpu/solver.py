@@ -749,6 +749,56 @@ def _resample_disp(disp: jnp.ndarray, dims_zyx, scale: float) -> jnp.ndarray:
     return out * jnp.float32(scale)
 
 
+def estimate_inverse_multigrid(
+    psi: jnp.ndarray,
+    iters: int = 3,
+    K: int = 2,
+    init: Optional[jnp.ndarray] = None,
+    fine_iters: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Coarse-to-fine warm inverse: the fixed point q <- id - disp(q) run
+    at HALF resolution (displacement halved, window ceil(K/2) — 4-8x
+    cheaper per step), the coarse inverse's displacement upsampled (MXU
+    resample, :func:`_resample_disp`), then ``fine_iters`` full-resolution
+    anchoring steps.
+
+    The inverse of a Sobolev-smoothed field is itself smooth, so its
+    low-frequency bulk is fully captured at half resolution; the fine
+    steps only correct sub-voxel interpolation error. At 256^3 the 3-step
+    full-res inverse costs ~24.5 ms while coarse-3 + fine-1 costs ~14 ms
+    (docs/BENCHLOG.md round-3). Accuracy is certified against the cold
+    48-step exact inverse by tools/fidelity.py --production (composition
+    residual |psi(q(v)) - v|).
+
+    Matches the reference's inverse SEMANTICS (vector_fields.cu:111-138
+    fixed point) at the same stationary point; the iteration path differs
+    (the reference runs 48 cold full-resolution steps each frame).
+    """
+    from sobfu_tpu.ops.pallas_kernels import (
+        estimate_inverse_window_pallas_multi,
+    )
+
+    dims = psi.shape[1:]
+    assert all(d % 2 == 0 for d in dims), "multigrid inverse needs even dims"
+    ident = fields.identity_field(dims)
+    dims_c = tuple(d // 2 for d in dims)
+    ident_c = fields.identity_field(dims_c)
+    K_c = max(1, -(-K // 2))
+    disp_c = _resample_disp(psi - ident, dims_c, 0.5)
+    init_c = None
+    if init is not None:
+        init_c = ident_c + _resample_disp(init - ident, dims_c, 0.5)
+    q_c = estimate_inverse_window_pallas_multi(
+        ident_c + disp_c, iters=iters, K=K_c, init=init_c,
+        interpret=interpret,
+    )
+    q0 = ident + _resample_disp(q_c - ident_c, dims, 2.0)
+    return estimate_inverse_window_pallas_multi(
+        psi, iters=fine_iters, K=K, init=q0, interpret=interpret
+    )
+
+
 def estimate_psi_pyramid(
     psi: jnp.ndarray,
     tsdf_global: jnp.ndarray,
@@ -779,6 +829,7 @@ def estimate_psi_pyramid(
     stall_window: int = 0,
     stall_rel: float = 1e-3,
     skip_inv_warps: bool = False,
+    inv_multigrid: bool = False,
 ) -> SolveResult:
     """Coarse-to-fine wrapper around :func:`estimate_psi` (host-level
     orchestration; each level's solve is the usual jitted program).
@@ -892,6 +943,7 @@ def estimate_psi_pyramid(
             stall_window=stall_window,
             stall_rel=stall_rel,
             skip_inv_warps=skip_inv_warps,
+            inv_multigrid=inv_multigrid,
         )
     else:
         res = estimate_psi(
@@ -1008,6 +1060,15 @@ class Solver:
         self.fine_window = getattr(params, "fine_window", None)
         self.stall_window = int(getattr(params, "stall_window", 0) or 0)
         self.stall_rel = float(getattr(params, "stall_rel", 1e-3))
+        # coarse-to-fine warm inverse: auto-on for the fused compositive
+        # production config (the exact configuration the fidelity
+        # --production gates certify); params key `inv_multigrid` overrides
+        img = getattr(params, "inv_multigrid", None)
+        self.inv_multigrid = (
+            bool(self.fused_pallas and self.fine_window is not None)
+            if img is None
+            else bool(img)
+        )
         warm = getattr(params, "inverse_warm", None)
         self.inverse_warm = (
             self.warp_window is not None if warm is None else bool(warm)
@@ -1084,6 +1145,7 @@ class Solver:
                 fine_window=self.fine_window,
                 stall_window=self.stall_window,
                 stall_rel=self.stall_rel,
+                inv_multigrid=self.inv_multigrid,
             )
         elif self.z_chunks and not self.use_pallas and not self.fused_pallas:
             # chunked supports momentum + energy recording; use_pallas /
@@ -1171,6 +1233,7 @@ class Solver:
         "energy_cap", "conv_mxu", "inv_window_iters", "inv_refine_iters",
         "momentum", "fused_db", "taps_static", "db_interpret", "x_pad_to",
         "total_window", "stall_window", "stall_rel", "skip_inv_warps",
+        "inv_multigrid",
     ),
 )
 def estimate_psi_compositive(
@@ -1203,6 +1266,7 @@ def estimate_psi_compositive(
     stall_window: int = 0,
     stall_rel: float = 1e-3,
     skip_inv_warps: bool = False,
+    inv_multigrid: bool = False,
 ) -> SolveResult:
     """Compositive-update solve: UNBOUNDED total deformation at window speed.
 
@@ -1270,6 +1334,7 @@ def estimate_psi_compositive(
         # the pipelined Pallas warp kernel, as the additive path does
         from sobfu_tpu.ops.pallas_kernels import (
             estimate_inverse_window_pallas_multi,
+            window_warp_field3_pallas,
             window_warp_pallas,
         )
 
@@ -1281,6 +1346,11 @@ def estimate_psi_compositive(
         tw_inverse = functools.partial(
             estimate_inverse_window_pallas_multi, K=total_window
         )
+        # C=3 shared-weight field sampler for the composition (the window
+        # bound of the compose is the INCREMENT's, warp_window)
+        tw_field = functools.partial(
+            window_warp_field3_pallas, K=warp_window
+        )
     elif total_window:
         tw_scalar = functools.partial(
             fields.sample_trilinear_window, max_disp=total_window
@@ -1291,9 +1361,25 @@ def estimate_psi_compositive(
         tw_inverse = functools.partial(
             fields.estimate_inverse_window, max_disp=total_window
         )
+        tw_field = functools.partial(
+            fields.sample_trilinear_window, max_disp=warp_window
+        )
 
     def compose_inverse(psi_new, delta_final):
         if total_window:
+            if (
+                inv_multigrid
+                and fused_db
+                and not db_interpret
+                and all(d % 2 == 0 for d in dims_zyx)
+            ):
+                # coarse-to-fine warm inverse (see estimate_inverse_
+                # multigrid): ~24.5 -> ~14 ms at 256^3, certified by the
+                # fidelity --production composition-residual gates
+                return estimate_inverse_multigrid(
+                    psi_new, iters=inverse_iters, K=total_window,
+                    init=psi_inv0,
+                )
             return tw_inverse(psi_new, iters=inverse_iters, init=psi_inv0)
         if psi_inv0 is None:
             return fields.estimate_inverse(psi_new, inverse_iters)
@@ -1546,9 +1632,7 @@ def estimate_psi_compositive(
     # compose: psi_new(v) = psi0(v + delta(v)) — one field sample (exact
     # gather, or an increment-bounded window sample when total_window is set)
     if total_window:
-        psi_new = fields.sample_trilinear_window(
-            psi0, ident + final.psi, max_disp=warp_window
-        )
+        psi_new = tw_field(psi0, ident + final.psi)
         psi_inv = compose_inverse(psi_new, final.psi)
         if skip_inv_warps:  # see the estimate_psi docstring
             tsdf_g_inv, weight_g_inv = tsdf_global, weight_global

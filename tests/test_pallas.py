@@ -264,6 +264,71 @@ def test_inverse_multi_kernel_matches_xla():
                                atol=1e-5)
 
 
+def test_inverse_multigrid_matches_cold():
+    """Coarse-to-fine warm inverse (half-res fixed point + fine anchor
+    steps) lands within interpolation error of the cold 48-step exact
+    inverse on a smooth field."""
+    from sobfu_tpu import solver
+
+    dims = (16, 16, 64)
+    ident = fields.identity_field(dims)
+    # smooth, Sobolev-like displacement (the production regime)
+    zz, yy, xx = [ident[i] for i in (2, 1, 0)]
+    disp = jnp.stack(
+        [
+            0.9 * jnp.sin(2 * jnp.pi * yy / dims[1]),
+            0.7 * jnp.cos(2 * jnp.pi * xx / dims[2]),
+            0.5 * jnp.sin(2 * jnp.pi * zz / dims[0]),
+        ]
+    )
+    psi = ident + disp
+    q_cold = fields.estimate_inverse_window(psi, iters=48, max_disp=2)
+    q_mg = solver.estimate_inverse_multigrid(
+        psi, iters=6, K=2, init=None, fine_iters=2, interpret=True
+    )
+    err = float(jnp.max(jnp.abs(q_mg - q_cold)))
+    assert err < 2e-2, err
+    # warm-started (production): tighter
+    q_mg_w = solver.estimate_inverse_multigrid(
+        psi, iters=3, K=2, init=q_cold, fine_iters=1, interpret=True
+    )
+    err_w = float(jnp.max(jnp.abs(q_mg_w - q_cold)))
+    # this test field varies over ~16 voxels (far rougher relative to the
+    # grid than a production Sobolev field — at 256^3 the measured error
+    # is 1.5e-3, tools/check_inverse_multigrid.py); the bound here only
+    # guards against gross breakage
+    assert err_w < 2e-2, err_w
+
+
+def test_field3_warp_pallas_matches_xla():
+    """C=3 shared-weight field sampler (one launch, the compositive
+    composition kernel) == fields.sample_trilinear_window on a 3-channel
+    field, K=1 and K=2, including edge clamping."""
+    from sobfu_tpu.ops.pallas_kernels import window_warp_field3_pallas
+
+    dims = (16, 16, 64)
+    rng = np.random.default_rng(7)
+    ident = fields.identity_field(dims)
+    field = ident + jnp.asarray(
+        rng.uniform(-2.0, 2.0, (3,) + dims), jnp.float32
+    )
+    for K in (1, 2):
+        pos = ident + jnp.asarray(
+            rng.uniform(-(K - 0.05), K - 0.05, (3,) + dims), jnp.float32
+        )
+        out = window_warp_field3_pallas(field, pos, K=K, interpret=True)
+        ref = fields.sample_trilinear_window(field, pos, max_disp=K)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+    # out-of-window positions clamp identically
+    pos_big = ident + jnp.asarray(
+        rng.uniform(-3.0, 3.0, (3,) + dims), jnp.float32
+    )
+    out = window_warp_field3_pallas(field, pos_big, K=1, interpret=True)
+    ref = fields.sample_trilinear_window(field, pos_big, max_disp=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 @pytest.mark.parametrize("momentum", [None, 0.9])
 def test_fused_stacked_iteration_matches_xla(momentum):
     """BlockSpec-stacked small-grid fused iteration == the XLA window step

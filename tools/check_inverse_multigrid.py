@@ -1,0 +1,80 @@
+"""Accuracy of the multigrid warm inverse vs cold-48 and warm-3 at the
+production scene (the profile_tails 256^3 sphere pair).
+
+Metrics, all in voxels at the fine resolution:
+  max |q - q_cold48|            field-space error vs the exact fixed point
+  max |psi(q(v)) - v|           composition residual (what fusion feels)
+
+Usage: python tools/check_inverse_multigrid.py [dim]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    dim = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    from sobfu_tpu import fields, solver
+    from sobfu_tpu.ops.pallas_kernels import (
+        estimate_inverse_window_pallas_multi,
+        window_warp_field3_pallas,
+    )
+    from sobfu_tpu.tsdf import init_sphere
+
+    vs = 1.0 / dim
+    dims = (dim,) * 3
+    trunc, eta = 8.0 * vs, 3.0 * vs
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.20, trunc, eta)
+    tn, wn = init_sphere(
+        dims, (vs,) * 3, (0.5 - 1.3 * vs, 0.5, 0.5), 0.205, trunc, eta
+    )
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    thresh = jnp.float32(4e-3 * dim / 128.0)
+    levels = 3 if dim >= 256 else 2
+    ident = fields.identity_field(dims)
+
+    # a REAL production psi: solve the frame, keep psi + the prev warm q
+    res = solver.estimate_psi_pyramid(
+        ident, tg, wg, tn, wn, taps, jnp.float32(0.05), jnp.float32(0.2),
+        jnp.int32(1024), thresh, None, levels=levels, warp_window=2,
+        momentum=0.95, fine_window=1, stall_window=16, stall_rel=1e-2,
+        fused_db=True, taps_static=taps_static, conv_mxu=True,
+        inverse_iters=3,
+    )
+    psi = res.psi
+    warm = res.psi_inv  # a realistic warm start (same-frame inverse)
+
+    @jax.jit
+    def resid(psi, q):
+        comp = window_warp_field3_pallas(psi, q, K=2)
+        return jnp.max(jnp.abs(comp - ident))
+
+    q_cold = estimate_inverse_window_pallas_multi(psi, iters=48, K=2)
+    q_w3 = estimate_inverse_window_pallas_multi(psi, iters=3, K=2, init=warm)
+    q_mg = solver.estimate_inverse_multigrid(psi, iters=3, K=2, init=warm)
+    q_mg2 = solver.estimate_inverse_multigrid(
+        psi, iters=3, K=2, init=warm, fine_iters=2
+    )
+
+    for name, q in (
+        ("cold-48", q_cold),
+        ("warm-3 full-res", q_w3),
+        ("multigrid c3+f1", q_mg),
+        ("multigrid c3+f2", q_mg2),
+    ):
+        dq = float(jnp.max(jnp.abs(q - q_cold)))
+        r = float(resid(psi, q))
+        print(f"{name:18s} max|q-q48| {dq:.2e} vox   resid {r:.2e} vox",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,9 @@ def solve(p, phi_global, phi_n, warp_window=None, momentum=0.9):
             levels=2, warp_window=warp_window or 2, fine_window=1,
             momentum=0.95, stall_window=16, stall_rel=1e-2,
             inverse_iters=48, fused_db=fused, taps_static=taps_static,
+            # cold multigrid: 48 coarse steps (8x cheaper each) + 1 fine
+            # anchor; gated by this harness's drift/RMSE budgets
+            inv_multigrid=fused and dim % 2 == 0 and dim >= 64,
         )
     return solver.estimate_psi(
         psi, phi_global.tsdf, phi_global.weight, phi_n.tsdf, phi_n.weight,
