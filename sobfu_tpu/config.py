@@ -147,6 +147,24 @@ class Params:
     # iterations at cap. 0 = off (reference stopping semantics).
     stall_window: int = 0
     stall_rel: float = 1e-3
+    # Y-folded fused path (X=64 grids) only: run N gradient-descent
+    # iterations per kernel launch with ALL loop state VMEM-resident
+    # (solver.estimate_psi inner_steps). Convergence/stall stops are
+    # checked every N iterations (may overshoot a mid-chunk stop by up to
+    # N-1 iterations; exact for fixed-iteration runs when MAX_ITER % N
+    # == 0). 16 is the measured sweet spot at 64^3. 0 = off (exact
+    # single-step stopping semantics — the default).
+    inner_steps: int = 0
+    # coarse-to-fine warm inverse (solver.estimate_inverse_multigrid):
+    # run the inverse fixed point at half resolution + 1 full-res anchor
+    # step (~24.5 -> ~14 ms at 256^3). None = AUTO: on exactly for the
+    # fused compositive production config (fused_pallas + fine_window),
+    # where it replaces the warm full-res fixed point with an approximate
+    # inverse measured at <= 2.3e-3 voxel off cold-48 with a PREVIOUS-
+    # frame warm start (tools/check_inverse_multigrid.py; composition
+    # residual identical to warm-3 full-res). Set False to keep the exact
+    # full-resolution fixed point in that config too.
+    inv_multigrid: "bool | None" = None
 
     def voxel_sizes(self) -> Tuple[float, float, float]:
         return (
@@ -253,6 +271,12 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         p.stall_window = int(vm["STALL_WINDOW"])
     if "STALL_REL" in vm:
         p.stall_rel = float(vm["STALL_REL"])
+    if "INNER_STEPS" in vm:
+        p.inner_steps = int(vm["INNER_STEPS"])
+    if "INV_MULTIGRID" in vm:
+        p.inv_multigrid = vm["INV_MULTIGRID"].strip().lower() in (
+            "1", "true", "yes",
+        )
 
     vsx = p.voxel_sizes()[0]
     if "TSDF_TRUNC_DIST" in vm:

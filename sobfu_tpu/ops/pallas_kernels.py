@@ -1150,11 +1150,19 @@ def unpad_db(buf: jnp.ndarray, x_logical: int = 0) -> jnp.ndarray:
 def _gd_tile_compute_fold(
     sp_ref, st_ref, sg_ref, live_slice, vel_at, psi_out, tnp_out, vel_out,
     mx_out, iz, alpha, w_reg, *, BZ, TYf, Z, Y, X, K, taps, n_taps, mu,
-    e_out=None
+    e_out=None, e_pre_out=None, reg_out=None
 ):
     """Folded-layout variant of :func:`_gd_tile_compute` (same math; the
     docstrings there cover the structure). Tiles span the WHOLE folded-y
-    extent: (BZ + 2*_H, TYf + 2*_HF, 2X), real y = 2*row + segment."""
+    extent: (BZ + 2*_H, TYf + 2*_HF, 2X), real y = 2*row + segment.
+
+    e_pre_out / reg_out (verbose-trace bundle, both or neither): per-tile
+    partials of the PRE-update data energy sum (phi_n_psi - phi_g)^2 and
+    the PRE-update regulariser sum ||J(disp(psi))||_F^2 — the two
+    quantities the reference prints per iteration (solver.cu:132-142).
+    The Jacobian reuses the six neighbour shifts already loaded for the
+    Laplacian, so the verbose bundle costs ~30 extra VPU ops/voxel and is
+    only materialised when requested."""
     R = n_taps // 2
     Rf = (R + 1) // 2     # folded rows covering the conv reach
     DZ = BZ + 2 * R
@@ -1201,16 +1209,32 @@ def _gd_tile_compute_fold(
         return (ext(st, dz=1) - ext(st, dz=-1)) * 0.5 * mz
 
     update_sq = None
+    reg_sq = None
     diff = ext(st) - ext(sg)
     for c in range(3):
         p_c = sp[c]
         pce = ext(p_c)
-        lap_x = (
-            _shift_x_fold(pce, 1, X) + _shift_x_fold(pce, -1, X) - 2.0 * pce
-        ) * mx
-        lap_y = (ext(p_c, oy=1) + ext(p_c, oy=-1) - 2.0 * pce) * my
-        lap_z = (ext(p_c, dz=1) + ext(p_c, dz=-1) - 2.0 * pce) * mz
+        sxp = _shift_x_fold(pce, 1, X)
+        sxm = _shift_x_fold(pce, -1, X)
+        syp = ext(p_c, oy=1)
+        sym = ext(p_c, oy=-1)
+        szp = ext(p_c, dz=1)
+        szm = ext(p_c, dz=-1)
+        lap_x = (sxp + sxm - 2.0 * pce) * mx
+        lap_y = (syp + sym - 2.0 * pce) * my
+        lap_z = (szp + szm - 2.0 * pce) * mz
         neg_lap = -(lap_x + lap_y + lap_z)
+
+        if reg_out is not None:
+            # Jacobian of the DISPLACEMENT (reference Differentiator mode
+            # 1, vector_fields.cu:415-472): central diffs of psi_c minus
+            # the identity's unit diagonal, vanishing on boundary slices
+            # exactly like the masked diffs
+            jx = ((sxp - sxm) * 0.5 - (1.0 if c == 0 else 0.0)) * mx
+            jy = ((syp - sym) * 0.5 - (1.0 if c == 1 else 0.0)) * my
+            jz = ((szp - szm) * 0.5 - (1.0 if c == 2 else 0.0)) * mz
+            j2 = (jx * jx + jy * jy + jz * jz)[R:R + BZ, Rf:Rf + TYf, :]
+            reg_sq = j2 if reg_sq is None else reg_sq + j2
 
         dU = diff * grad_of(c) + w_reg * neg_lap  # (DZ, DYf, XF)
 
@@ -1238,6 +1262,11 @@ def _gd_tile_compute_fold(
         update_sq = upd * upd if update_sq is None else update_sq + upd * upd
 
     mx_out[:] = jnp.full((1, 8, 128), jnp.max(update_sq), jnp.float32)
+
+    if reg_out is not None:
+        d0 = diff[R:R + BZ, Rf:Rf + TYf, :]
+        e_pre_out[:] = jnp.full((1, 8, 128), jnp.sum(d0 * d0), jnp.float32)
+        reg_out[:] = jnp.full((1, 8, 128), jnp.sum(reg_sq), jnp.float32)
 
     # ---- bounded-window trilinear warp of the live tsdf at psi' ----
     shape_o = (BZ, TYf, XF)
@@ -2334,7 +2363,7 @@ def _pad_folded_val(v, Z, Yf, X, H, HF):
 
 
 def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
-                            with_energy):
+                            with_energy, with_verbose=False):
     H, HF = _H, _HF
     has_vel = mu is not None
     XF = 2 * X
@@ -2353,6 +2382,8 @@ def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
         vel_out = refs.pop(0) if has_vel else None
         mx_out = refs.pop(0)
         e_out = refs.pop(0) if with_energy else None
+        e_pre_out = refs.pop(0) if with_verbose else None
+        reg_out = refs.pop(0) if with_verbose else None
         s_psi = refs.pop(0)
         s_tnp = refs.pop(0)
         s_tg = refs.pop(0)
@@ -2389,6 +2420,10 @@ def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
                 BZ=Z, TYf=Yf, Z=Z, Y=Y, X=X, K=K, taps=taps,
                 n_taps=n_taps, mu=mu,
                 e_out=e_out.at[pl.ds(it, 1)] if with_energy else None,
+                e_pre_out=(
+                    e_pre_out.at[pl.ds(it, 1)] if with_verbose else None
+                ),
+                reg_out=reg_out.at[pl.ds(it, 1)] if with_verbose else None,
             )
             # rebuild the padded state in VMEM for the next iteration
             for c in range(3):
@@ -2427,6 +2462,7 @@ def fused_gd_multi_fold(
     momentum=None,
     interpret: bool = False,
     with_energy: bool = False,
+    with_verbose: bool = False,
 ):
     """``n_inner`` fused GD iterations in ONE kernel launch, all state
     VMEM-resident (see module comment above). State arrays are PADDED
@@ -2435,6 +2471,13 @@ def fused_gd_multi_fold(
     per-ITERATION max-update-norm^2 and data-energy vectors, so callers
     can stop at chunk granularity yet report/check per-iteration values.
     Numerics per iteration identical to :func:`fused_gd_iteration_fold`.
+
+    with_verbose: additionally return per-iteration PRE-update data and
+    regulariser energies — (..., e_pre[n_inner], e_reg[n_inner]) appended
+    to the 5-tuple — matching the row convention of the solver's energy
+    history (the reference's per-iteration verbose print,
+    solver.cu:132-142): row i = energies BEFORE update i, norm OF update
+    i. This is what makes ``record_energy`` work with ``inner_steps``.
     """
     ZP, YP, XF = tnp_pad.shape
     Z, Yf = ZP - 2 * _H, YP - 2 * _HF
@@ -2447,7 +2490,8 @@ def fused_gd_multi_fold(
     has_vel = mu is not None
 
     kernel = _make_multi_fold_kernel(
-        Z, Yf, X, K, taps_static, n_taps, mu, n_inner, with_energy
+        Z, Yf, X, K, taps_static, n_taps, mu, n_inner, with_energy,
+        with_verbose,
     )
 
     n_in = 5 if has_vel else 4
@@ -2471,6 +2515,12 @@ def fused_gd_multi_fold(
         out_shapes.append(
             jax.ShapeDtypeStruct((n_inner, 8, 128), jnp.float32)
         )
+    if with_verbose:
+        for _ in range(2):  # e_pre, e_reg
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((n_inner, 8, 128), jnp.float32)
+            )
 
     scratch = [
         pltpu.VMEM((3, ZP, YP, XF), jnp.float32),  # s_psi
@@ -2509,6 +2559,12 @@ def fused_gd_multi_fold(
         **cparams,
     )(*args))
 
+    e_pre = e_reg = None
+    if with_verbose:
+        reg_tiles = outs.pop()
+        pre_tiles = outs.pop()
+        e_reg = 0.5 * reg_tiles[:, 0, 0]
+        e_pre = 0.5 * pre_tiles[:, 0, 0]
     e_data = None
     if with_energy:
         e_tiles = outs.pop()
@@ -2518,7 +2574,10 @@ def fused_gd_multi_fold(
     else:
         psi_new, tnp_new, mx_tiles = outs
         vel_new = None
-    return psi_new, tnp_new, vel_new, mx_tiles[:, 0, 0], e_data
+    base = (psi_new, tnp_new, vel_new, mx_tiles[:, 0, 0], e_data)
+    if with_verbose:
+        return base + (e_pre, e_reg)
+    return base
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,7 @@ from sobfu_tpu.tsdf import TsdfVolume
         "stall_rel",
         "skip_inv_warps",
         "inv_multigrid",
+        "inner_steps",
     ),
 )
 def fused_frame_step(
@@ -87,6 +88,7 @@ def fused_frame_step(
     stall_rel=1e-3,
     skip_inv_warps=False,
     inv_multigrid=False,
+    inner_steps=0,
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -141,6 +143,7 @@ def fused_frame_step(
             x_pad_to=x_pad_to,
             stall_window=stall_window, stall_rel=stall_rel,
             skip_inv_warps=skip_inv_warps,
+            inner_steps=inner_steps,
         )
 
     tg2, wg2 = fuse_volumes(
@@ -275,6 +278,7 @@ class SobFusion:
                 stall_rel=self.solver.stall_rel,
                 skip_inv_warps=not self.need_inv_warps,
                 inv_multigrid=self.solver.inv_multigrid,
+                inner_steps=self.solver.inner_steps,
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi

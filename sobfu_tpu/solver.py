@@ -297,8 +297,12 @@ def estimate_psi(
     ``inner_steps`` iterations (each chunk's LAST per-iteration norm /
     energy — may overshoot the single-step stop by up to inner_steps - 1
     iterations; exact for fixed-iteration runs with max_iter divisible by
-    inner_steps). Requires stall_window % inner_steps == 0 and no
-    record_energy. 0/1 = one kernel launch per iteration.
+    inner_steps). Requires stall_window % inner_steps == 0.
+    record_energy IS supported: the kernel emits the per-iteration
+    verbose bundle (pre-update data/reg energy + update norm) and the
+    history receives inner_steps rows per chunk — ``--vverbose`` output
+    is identical to the single-step path. 0/1 = one kernel launch per
+    iteration.
 
     skip_tails: skip the per-solve tail computations entirely — the
     inverse-field fixed point and the final psi_inv / weight warps — and
@@ -411,11 +415,16 @@ def estimate_psi(
             tg_pad_db = pad_for_fold(tsdf_global)
             live_pad_db = pad_for_fold(tsdf_n)
             if use_multi:
-                # VMEM-resident multi-iteration chunks: padded loop state
-                assert not record_energy, (
-                    "inner_steps: per-iteration energy history unavailable"
-                )
+                # VMEM-resident multi-iteration chunks: padded loop state.
+                # record_energy is supported: the kernel emits per-step
+                # pre-update data/reg energies + update norms (the verbose
+                # bundle), written to the history in inner_steps-row blocks.
                 assert stall_window == 0 or stall_window % inner_steps == 0
+                if record_energy:
+                    assert energy_cap >= inner_steps, (
+                        "record_energy with inner_steps needs "
+                        "energy_cap >= inner_steps"
+                    )
                 pad_st = lambda a, _x=0: pad_folded(fold_y(a))  # noqa: E731
                 unpad_st = lambda a, _x=0: unfold_y(unpad_folded(a))  # noqa: E731
             else:
@@ -441,9 +450,10 @@ def estimate_psi(
         psi, tsdf_n_psi = state.psi, state.tsdf_n_psi
 
         e_kern = None
+        verb_rows = None
         if fused_db and use_fold and use_multi:
             # inner_steps iterations per launch, state VMEM-resident
-            psi_new, tsdf_new, vel_new, mx_vec, e_vec = fused_gd_multi_fold(
+            outs = fused_gd_multi_fold(
                 psi,
                 tsdf_n_psi,
                 state.vel if momentum is not None else None,
@@ -457,7 +467,17 @@ def estimate_psi(
                 momentum=momentum,
                 interpret=db_interpret,
                 with_energy=stall_window > 0,
+                with_verbose=record_energy,
             )
+            psi_new, tsdf_new, vel_new, mx_vec, e_vec = outs[:5]
+            if record_energy:
+                # per-step verbose bundle from INSIDE the kernel: rows
+                # (pre-update data energy, pre-update reg energy, update
+                # norm) for each of the chunk's inner_steps iterations
+                e_pre_vec, e_reg_vec = outs[5], outs[6]
+                verb_rows = jnp.stack(
+                    [e_pre_vec, e_reg_vec, jnp.sqrt(mx_vec)], axis=1
+                )
             if momentum is None:
                 vel_new = state.vel
             mnorm = jnp.sqrt(mx_vec[-1])
@@ -566,7 +586,13 @@ def estimate_psi(
             mnorm = jnp.sqrt(jnp.max(norm_sq))
 
         energy = state.energy
-        if record_energy:
+        if record_energy and verb_rows is not None:
+            # inner_steps rows at once (kernel-computed; see verb_rows)
+            energy = jax.lax.dynamic_update_slice(
+                energy, verb_rows,
+                (jnp.minimum(state.iter, energy_cap - step_n), 0),
+            )
+        elif record_energy:
             psi_e = unpad_st(psi, xl_db) if fused_db else psi
             tnp_e = unpad_st(tsdf_n_psi, xl_db) if fused_db else tsdf_n_psi
             e = jnp.stack(
@@ -767,9 +793,12 @@ def estimate_inverse_multigrid(
     low-frequency bulk is fully captured at half resolution; the fine
     steps only correct sub-voxel interpolation error. At 256^3 the 3-step
     full-res inverse costs ~24.5 ms while coarse-3 + fine-1 costs ~14 ms
-    (docs/BENCHLOG.md round-3). Accuracy is certified against the cold
-    48-step exact inverse by tools/fidelity.py --production (composition
-    residual |psi(q(v)) - v|).
+    (docs/BENCHLOG.md round-3). Accuracy vs the cold 48-step exact inverse
+    is measured directly by tools/check_inverse_multigrid.py (max field
+    diff + composition residual, with both same-frame and previous-frame-
+    style warm starts); tools/fidelity.py --production additionally bounds
+    the multigrid path end-to-end via its composition-residual and
+    reconstruction-RMSE budgets (it runs this inverse itself).
 
     Matches the reference's inverse SEMANTICS (vector_fields.cu:111-138
     fixed point) at the same stationary point; the iteration path differs
@@ -1069,6 +1098,24 @@ class Solver:
             if img is None
             else bool(img)
         )
+        # VMEM-resident multi-iteration chunks on the Y-folded fused path
+        # (X=64 grids): opt-in via INNER_STEPS; silently disabled when the
+        # preconditions don't hold (non-fold grid, stall window not a
+        # multiple, or a non-divisible iteration cap, which would
+        # overshoot the reference's exact MAX_ITER semantics).
+        inner = int(getattr(params, "inner_steps", 0) or 0)
+        if inner > 1:
+            fold_ok = (
+                X * 2 == 128 and Y % 2 == 0 and Z % 8 == 0
+                and self.fused_pallas
+            )
+            if (
+                not fold_ok
+                or (self.stall_window and self.stall_window % inner)
+                or (params.max_iter % inner)
+            ):
+                inner = 0
+        self.inner_steps = inner
         warm = getattr(params, "inverse_warm", None)
         self.inverse_warm = (
             self.warp_window is not None if warm is None else bool(warm)
@@ -1127,6 +1174,7 @@ class Solver:
                     else 0
                 ),
                 stall_rel=self.stall_rel,
+                inner_steps=self.inner_steps,
             )
         elif self.pyramid_levels > 1:
             res = estimate_psi_pyramid(
@@ -1183,6 +1231,7 @@ class Solver:
                 x_pad_to=self.x_pad_to,
                 stall_window=self.stall_window,
                 stall_rel=self.stall_rel,
+                inner_steps=self.inner_steps,
             )
         psi.data = res.psi
         psi_inv.data = res.psi_inv
@@ -1233,7 +1282,7 @@ class Solver:
         "energy_cap", "conv_mxu", "inv_window_iters", "inv_refine_iters",
         "momentum", "fused_db", "taps_static", "db_interpret", "x_pad_to",
         "total_window", "stall_window", "stall_rel", "skip_inv_warps",
-        "inv_multigrid",
+        "inv_multigrid", "inner_steps",
     ),
 )
 def estimate_psi_compositive(
@@ -1267,6 +1316,7 @@ def estimate_psi_compositive(
     stall_rel: float = 1e-3,
     skip_inv_warps: bool = False,
     inv_multigrid: bool = False,
+    inner_steps: int = 0,
 ) -> SolveResult:
     """Compositive-update solve: UNBOUNDED total deformation at window speed.
 
@@ -1436,12 +1486,15 @@ def estimate_psi_compositive(
             fused_gd_iteration_db_padded,
             fused_gd_iteration_fold,
             fused_gd_iteration_pp,
+            fused_gd_multi_fold,
+            pad_folded,
             pad_for_db,
             pad_for_fold,
             pad_for_pp,
             refresh_padded,
             unfold_y,
             unpad_db,
+            unpad_folded,
             unpad_pp,
         )
 
@@ -1454,12 +1507,24 @@ def estimate_psi_compositive(
         # dead padding lanes on the VPU-bound body
         use_fold = Xd * 2 == 128 and Yd % 2 == 0 and Zd % 8 == 0
         use_pp = False
+        use_multi = use_fold and inner_steps > 1
+        if use_multi:
+            # VMEM-resident multi-iteration chunks (fused_gd_multi_fold):
+            # the increment loop is the SAME kernel body, so the chunked
+            # stepping applies verbatim (see estimate_psi inner_steps)
+            assert stall_window == 0 or stall_window % inner_steps == 0
+            if record_energy:
+                assert energy_cap >= inner_steps
         if use_fold:
             xl_db = 0
             tg_pad_db = pad_for_fold(tsdf_global)
             t0_pad_db = pad_for_fold(t0)
-            pad_st = lambda a, _x=0: fold_y(a)  # noqa: E731
-            unpad_st = lambda a, _x=0: unfold_y(a)  # noqa: E731
+            if use_multi:
+                pad_st = lambda a, _x=0: pad_folded(fold_y(a))  # noqa: E731
+                unpad_st = lambda a, _x=0: unfold_y(unpad_folded(a))  # noqa: E731
+            else:
+                pad_st = lambda a, _x=0: fold_y(a)  # noqa: E731
+                unpad_st = lambda a, _x=0: unfold_y(a)  # noqa: E731
         else:
             _bz, _ty = _db_tiles(Zd, Yd, x_pad_to or Xd)
             use_pp = Zd // _bz >= 2 and Yd // _ty >= 2
@@ -1472,11 +1537,45 @@ def estimate_psi_compositive(
             pad_st = pad_for_pp if use_pp else pad_for_db
             unpad_st = unpad_pp if use_pp else unpad_db
 
+    step_n = inner_steps if (fused_db and use_fold and use_multi) else 1
+
     def gd_step(state: SolverState) -> SolverState:
         delta, tnp = state.psi, state.tsdf_n_psi  # 'psi' slot holds delta
 
         e_kern = None
-        if fused_db and use_fold:
+        verb_rows = None
+        if fused_db and use_fold and use_multi:
+            # inner_steps increment iterations per launch, VMEM-resident
+            outs = fused_gd_multi_fold(
+                delta,
+                tnp,
+                state.vel if momentum is not None else None,
+                tg_pad_db,
+                t0_pad_db,
+                alpha,
+                w_reg,
+                taps_static,
+                K=warp_window,
+                n_inner=inner_steps,
+                momentum=momentum,
+                interpret=db_interpret,
+                with_energy=stall_window > 0,
+                with_verbose=record_energy,
+            )
+            delta_new, tnp_new, vel_new, mx_vec, e_vec = outs[:5]
+            if record_energy:
+                # kernel verbose bundle; the reg rows are ||J(delta)||^2
+                # (psi_state = id + delta), exactly the compositive
+                # convention documented in the record block below
+                verb_rows = jnp.stack(
+                    [outs[5], outs[6], jnp.sqrt(mx_vec)], axis=1
+                )
+            if momentum is None:
+                vel_new = state.vel
+            mnorm = jnp.sqrt(mx_vec[-1])
+            if e_vec is not None:
+                e_kern = e_vec[-1]
+        elif fused_db and use_fold:
             # state carries the FOLDED (id + delta) and tnp arrays
             psi_f, tnp_f, vel_new, mx_sq, e_kern = fused_gd_iteration_fold(
                 delta,
@@ -1556,7 +1655,12 @@ def estimate_psi_compositive(
             mnorm = jnp.sqrt(jnp.max(jnp.sum(update * update, axis=0)))
 
         energy = state.energy
-        if record_energy:
+        if record_energy and verb_rows is not None:
+            energy = jax.lax.dynamic_update_slice(
+                energy, verb_rows,
+                (jnp.minimum(state.iter, energy_cap - step_n), 0),
+            )
+        elif record_energy:
             # reg term covers the CURRENT increment (delta), not the composed
             # total field — computing the latter would need a full composition
             # per iteration; data term and max-norm match the reference's.
@@ -1577,7 +1681,7 @@ def estimate_psi_compositive(
         if stall_window:
             # branch-free + in-kernel energy on the pp path — see the
             # stall block in estimate_psi's gd_step for the rationale
-            it1 = state.iter + 1
+            it1 = state.iter + step_n
             if e_kern is not None:
                 e_now = e_kern
             else:
@@ -1592,7 +1696,7 @@ def estimate_psi_compositive(
             e_ref = jnp.where(at_check, e_now, e_ref)
 
         return SolverState(
-            delta_new, tnp_new, state.iter + 1, mnorm, energy, vel_new,
+            delta_new, tnp_new, state.iter + step_n, mnorm, energy, vel_new,
             e_ref, stalled,
         )
 

@@ -14,7 +14,16 @@ import numpy as np
 
 
 def state_dict(fusion) -> dict:
-    """Pipeline state as a flat dict of numpy arrays (orbax/npz-agnostic)."""
+    """Pipeline state as a flat dict of numpy arrays (orbax/npz-agnostic).
+
+    Captures the COMPLETE cross-frame state: all four TSDF volumes
+    (phi_global, phi_global_psi_inv, phi_n, phi_n_psi — the reference keeps
+    the same four on-device, sob_fusion.hpp:60-68), both deformation fields,
+    and the inv-warp staleness flag. The solver's momentum velocity is
+    per-solve (zero-initialised inside estimate_psi every frame), so it is
+    not cross-frame state and needs no persistence; likewise the stall
+    detector resets each solve.
+    """
     state = {
         "frame_counter": np.asarray(fusion.frame_counter),
         "poses": np.stack(fusion.poses, axis=0),
@@ -24,6 +33,13 @@ def state_dict(fusion) -> dict:
         state["phi_global_weight"] = np.asarray(fusion.phi_global.weight)
         state["psi"] = np.asarray(fusion.psi.data)
         state["psi_inv"] = np.asarray(fusion.psi_inv.data)
+        for name in ("phi_global_psi_inv", "phi_n", "phi_n_psi"):
+            vol = getattr(fusion, name)
+            state[f"{name}_tsdf"] = np.asarray(vol.tsdf)
+            state[f"{name}_weight"] = np.asarray(vol.weight)
+        state["inv_warps_stale"] = np.asarray(
+            bool(getattr(fusion, "_inv_warps_stale", False))
+        )
     return state
 
 
@@ -78,6 +94,16 @@ def _restore(data, fusion) -> None:
         fusion.phi_global_psi_inv = TsdfVolume(p)
         fusion.phi_n = TsdfVolume(p)
         fusion.phi_n_psi = TsdfVolume(p)
+        # auxiliary volumes (absent in pre-round-4 checkpoints: those left
+        # them empty until the next solve refilled them)
+        for name in ("phi_global_psi_inv", "phi_n", "phi_n_psi"):
+            if f"{name}_tsdf" in data:
+                vol = getattr(fusion, name)
+                vol.tsdf = jnp.asarray(data[f"{name}_tsdf"])
+                vol.weight = jnp.asarray(data[f"{name}_weight"])
+        fusion._inv_warps_stale = bool(
+            np.asarray(data["inv_warps_stale"])
+        ) if "inv_warps_stale" in data else False
         fusion.psi = DeformationField(p.volume_dims, jnp.asarray(data["psi"]))
         fusion.psi_inv = DeformationField(p.volume_dims, jnp.asarray(data["psi_inv"]))
         fusion.solver = solver_mod.Solver(p)

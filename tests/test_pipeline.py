@@ -123,6 +123,53 @@ def test_checkpoint_roundtrip(tmp_path, run_3_frames):
     assert fresh.frame_counter == 4
 
 
+def test_checkpoint_resume_equivalence(tmp_path):
+    """6 frames straight == 3 frames + checkpoint/restore + 3 frames.
+
+    The round-3 checkpoint saved only phi_global/psi/psi_inv/poses; the
+    auxiliary volumes (phi_n, phi_n_psi, phi_global_psi_inv) were left
+    empty until the next solve. With the complete state_dict the resumed
+    run must reproduce the straight run EXACTLY (same compiled programs,
+    same inputs — bitwise)."""
+    from sobfu_tpu.utils import checkpoint as ckpt
+
+    cxs = (0.0, 0.004, 0.008, 0.012, 0.016, 0.02)
+
+    straight = SobFusion(make_params())
+    for cx in cxs:
+        straight(jnp.asarray(render_sphere_depth((cx, 0.0, 0.45), 0.08)))
+
+    first = SobFusion(make_params())
+    for cx in cxs[:3]:
+        first(jnp.asarray(render_sphere_depth((cx, 0.0, 0.45), 0.08)))
+    path = str(tmp_path / "mid.npz")
+    ckpt.save_checkpoint(path, first)
+
+    resumed = SobFusion(make_params())
+    ckpt.load_checkpoint(path, resumed)
+    for cx in cxs[3:]:
+        resumed(jnp.asarray(render_sphere_depth((cx, 0.0, 0.45), 0.08)))
+
+    assert resumed.frame_counter == straight.frame_counter == 6
+    for name in ("phi_global", "phi_global_psi_inv", "phi_n", "phi_n_psi"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(resumed, name).tsdf),
+            np.asarray(getattr(straight, name).tsdf),
+            err_msg=name,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(getattr(resumed, name).weight),
+            np.asarray(getattr(straight, name).weight),
+            err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(resumed.psi.data), np.asarray(straight.psi.data)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed.psi_inv.data), np.asarray(straight.psi_inv.data)
+    )
+
+
 def test_cli_end_to_end(tmp_path):
     """Full CLI: scene dir + ini -> meshes + fields on disk."""
     from PIL import Image

@@ -70,7 +70,8 @@ def main():
                 warp_window=2, momentum=0.95, fine_window=1,
                 stall_window=16, stall_rel=1e-2,
                 fused_db=True, taps_static=taps_static, conv_mxu=True,
-                inverse_iters=4,
+                inverse_iters=3, skip_inv_warps=True,
+                inv_multigrid=dim >= 128,
             )
         return jax.jit(_run)
 
