@@ -1150,7 +1150,7 @@ def unpad_db(buf: jnp.ndarray, x_logical: int = 0) -> jnp.ndarray:
 def _gd_tile_compute_fold(
     sp_ref, st_ref, sg_ref, live_slice, vel_at, psi_out, tnp_out, vel_out,
     mx_out, iz, alpha, w_reg, *, BZ, TYf, Z, Y, X, K, taps, n_taps, mu,
-    e_out=None, e_pre_out=None, reg_out=None
+    e_out=None, e_pre_out=None, reg_out=None, z_base=None
 ):
     """Folded-layout variant of :func:`_gd_tile_compute` (same math; the
     docstrings there cover the structure). Tiles span the WHOLE folded-y
@@ -1162,7 +1162,12 @@ def _gd_tile_compute_fold(
     quantities the reference prints per iteration (solver.cu:132-142).
     The Jacobian reuses the six neighbour shifts already loaded for the
     Laplacian, so the verbose bundle costs ~30 extra VPU ops/voxel and is
-    only materialised when requested."""
+    only materialised when requested.
+
+    z_base: traced GLOBAL z of local row 0 (nonzero inside a z-sharded
+    solve, where the caller feeds ICI-halo-exchanged pads and Z is the
+    GLOBAL depth — mirrors the z_base/z_global contract of
+    :func:`_gd_tile_compute`)."""
     R = n_taps // 2
     Rf = (R + 1) // 2     # folded rows covering the conv reach
     DZ = BZ + 2 * R
@@ -1171,6 +1176,8 @@ def _gd_tile_compute_fold(
     H, HF = _H, _HF
     has_vel = vel_at is not None
     z0 = iz * BZ
+    if z_base is not None:
+        z0 = z0 + z_base
 
     sp = sp_ref[...]
     st = st_ref[...]
@@ -1335,10 +1342,12 @@ def _gd_tile_compute_fold(
 
 
 def _make_fold_kernel(BZ, TYf, Z, Y, X, K, taps, n_taps, mu, n_tiles,
-                      with_energy=False):
+                      with_energy=False, with_zbase=False):
     """Double-buffered manual-DMA kernel over z-tiles of the folded
     layout (whole folded-y rows per tile); structure mirrors
-    :func:`_make_db_kernel`."""
+    :func:`_make_db_kernel`. with_zbase: a trailing int32 SMEM operand
+    carries the global z of local row 0 (z-sharded use; Z is then the
+    GLOBAL depth)."""
     has_vel = mu is not None
     BH = BZ + 2 * _H
     TH = TYf + 2 * _HF
@@ -1346,6 +1355,7 @@ def _make_fold_kernel(BZ, TYf, Z, Y, X, K, taps, n_taps, mu, n_tiles,
     def kernel(*refs):
         refs = list(refs)
         scal_ref = refs.pop(0)
+        zb_ref = refs.pop(0) if with_zbase else None
         if has_vel:
             (psi_ref, tnp_ref, tg_ref, live_ref, vel_ref,
              psi_out, tnp_out, vel_out, mx_out, *rest) = refs
@@ -1414,6 +1424,7 @@ def _make_fold_kernel(BZ, TYf, Z, Y, X, K, taps, n_taps, mu, n_tiles,
             iz, alpha, w_reg,
             BZ=BZ, TYf=TYf, Z=Z, Y=Y, X=X, K=K, taps=taps, n_taps=n_taps,
             mu=mu, e_out=e_out,
+            z_base=zb_ref[0] if with_zbase else None,
         )
 
     return kernel
@@ -1440,7 +1451,40 @@ def fused_gd_iteration_fold(
     arrays (the per-iteration pad is rebuilt here — at 64^3 the padded
     buffers are ~1 MB, so the copy is noise). Numerics identical to the
     lane-packed kernel / XLA window step."""
-    _, Z, Yf, XF = psi_f.shape
+    return fused_gd_iteration_fold_padded(
+        pad_folded(psi_f), pad_folded(tnp_f), vel, tg_pad, live_pad,
+        alpha, w_reg, taps_static, K=K, BZ=BZ, momentum=momentum,
+        interpret=interpret, with_energy=with_energy,
+    )
+
+
+def fused_gd_iteration_fold_padded(
+    psi_pad: jnp.ndarray,  # f32[3, Z+2_H, Yf+2_HF, 2X] folded, padded
+    tnp_pad: jnp.ndarray,  # f32[Z+2_H, Yf+2_HF, 2X]
+    vel,  # f32[3, Z, Yf, 2X] or None (UNPADDED)
+    tg_pad: jnp.ndarray,  # pad_for_fold-layout (loop-invariant)
+    live_pad: jnp.ndarray,  # pad_for_fold-layout (loop-invariant)
+    alpha: jnp.ndarray,
+    w_reg: jnp.ndarray,
+    taps_static: Tuple[float, ...],
+    *,
+    K: int = 2,
+    BZ: int = 0,
+    momentum=None,
+    interpret: bool = False,
+    with_energy: bool = False,
+    z_base=None,
+    z_global: int = 0,
+):
+    """Fold-kernel iteration on CALLER-padded arrays. Single-chip callers
+    build the pads with :func:`pad_folded` (edge-replicated halos); a
+    z-SHARDED caller feeds ICI-halo-exchanged z rows instead and passes
+    z_base (traced global z of local row 0) + z_global (global depth) so
+    the kernel's boundary masks and warp clamps act in GLOBAL coordinates
+    — the fold counterpart of :func:`fused_gd_iteration_db_padded`'s
+    z_base/z_global contract. Returns UNPADDED folded outputs."""
+    _, ZP, YP, XF = psi_pad.shape
+    Z, Yf = ZP - 2 * _H, YP - 2 * _HF
     X = XF // 2
     Y = Yf * 2
     n_taps = len(taps_static)
@@ -1454,18 +1498,18 @@ def fused_gd_iteration_fold(
     assert Z % BZ == 0
     nz = Z // BZ
     mu = float(momentum) if momentum is not None else None
-
-    psi_pad = pad_folded(psi_f)
-    tnp_pad = pad_folded(tnp_f)
+    with_zbase = z_base is not None
 
     kernel = _make_fold_kernel(
-        BZ, Yf, Z, Y, X, K, taps_static, n_taps, mu, nz,
-        with_energy=with_energy,
+        BZ, Yf, z_global if with_zbase else Z, Y, X, K, taps_static,
+        n_taps, mu, nz, with_energy=with_energy, with_zbase=with_zbase,
     )
     BH = BZ + 2 * _H
     TH = Yf + 2 * _HF
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if with_zbase:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
         5 if mu is not None else 4
     )
@@ -1523,7 +1567,10 @@ def fused_gd_iteration_fold(
     )
 
     scal = jnp.stack([alpha.astype(jnp.float32), w_reg.astype(jnp.float32)])
-    args = [scal, psi_pad, tnp_pad, tg_pad, live_pad]
+    args = [scal]
+    if with_zbase:
+        args.append(jnp.asarray([z_base], jnp.int32))
+    args += [psi_pad, tnp_pad, tg_pad, live_pad]
     if mu is not None:
         args.append(vel)
 

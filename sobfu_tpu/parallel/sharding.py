@@ -246,6 +246,38 @@ def _gd_step_local_fused(
     return psi_c, tnp_c, vel_new, mnorm
 
 
+def _gd_step_local_fused_fold(
+    psi_lf, tnp_lf, tg_pad, live_pad, taps_static, alpha, w_reg, z0,
+    axis_name, K, z_global, interpret, vel_l=None, momentum=None,
+):
+    """One Y-FOLDED fused-kernel step on a local z-block (X=64 grids).
+
+    The per-shard program is the single-chip fold iteration
+    (:func:`sobfu_tpu.ops.pallas_kernels.fused_gd_iteration_fold_padded`)
+    with its z-halo rows fed by the ICI halo exchange (exchanged on the
+    FOLDED layout — folding only touches y, so z halos are unaffected) and
+    global-coordinate masks via z_base/z_global. State stays folded across
+    the loop; same numbers as :func:`_gd_step_local` in windowed mode."""
+    from sobfu_tpu.ops.pallas_kernels import (
+        _H,
+        fused_gd_iteration_fold_padded,
+        pad_folded,
+    )
+
+    psi_pad = pad_folded(_halo_exchange_z(psi_lf, _H, axis_name), 0)
+    tnp_pad = pad_folded(_halo_exchange_z(tnp_lf, _H, axis_name), 0)
+    psi_c, tnp_c, vel_new, mx_sq, _ = fused_gd_iteration_fold_padded(
+        psi_pad, tnp_pad, vel_l if momentum is not None else None,
+        tg_pad, live_pad, alpha, w_reg, taps_static,
+        K=K, momentum=momentum, interpret=interpret,
+        z_base=z0, z_global=z_global,
+    )
+    if momentum is None:
+        vel_new = vel_l
+    mnorm = jax.lax.pmax(jnp.sqrt(mx_sq), axis_name)
+    return psi_c, tnp_c, vel_new, mnorm
+
+
 def _downsample2_local(vol: jnp.ndarray) -> jnp.ndarray:
     """2x average-pool the last three axes of a local block."""
     sh = vol.shape
@@ -283,17 +315,40 @@ def _gd_loop_local(
     else:
         tnp0 = _sample_window_local(live_src, psi_l, z0, K)
 
+    use_fold = False
     if fused:
         H = 4
         z_global = tg_l.shape[-3] * jax.lax.axis_size(axis)
-        tg_pad_f = jnp.pad(
-            _halo_exchange_z(tg_l, H, axis), [(0, 0), (H, H), (0, 0)],
-            mode="edge",
+        # Y-FOLDED per-shard kernel for X=64 grids (y-pairs pack the 128
+        # lanes — the plain db kernel would lane-pad to 128 with half the
+        # VPU dead); same auto-dispatch rule as the single-chip solve
+        use_fold = (
+            tg_l.shape[-1] * 2 == 128
+            and tg_l.shape[-2] % 2 == 0
+            and tg_l.shape[-3] % 8 == 0
         )
-        live_pad_f = jnp.pad(
-            _halo_exchange_z(live_l, H, axis), [(0, 0), (H, H), (0, 0)],
-            mode="edge",
-        )
+        if use_fold:
+            from sobfu_tpu.ops.pallas_kernels import _H, fold_y, pad_folded
+
+            tg_pad_f = pad_folded(
+                _halo_exchange_z(fold_y(tg_l), _H, axis), 0
+            )
+            live_pad_f = pad_folded(
+                _halo_exchange_z(fold_y(live_l), _H, axis), 0
+            )
+            tg_lf = fold_y(tg_l)  # for the stall energy (sum is layout-
+            # independent; keeps the loop state folded throughout)
+            psi_l = fold_y(psi_l)
+            tnp0 = fold_y(tnp0)
+        else:
+            tg_pad_f = jnp.pad(
+                _halo_exchange_z(tg_l, H, axis), [(0, 0), (H, H), (0, 0)],
+                mode="edge",
+            )
+            live_pad_f = jnp.pad(
+                _halo_exchange_z(live_l, H, axis), [(0, 0), (H, H), (0, 0)],
+                mode="edge",
+            )
 
     vel0 = jnp.zeros_like(psi_l) if momentum is not None else jnp.float32(0.0)
     inf = jnp.float32(jnp.inf)
@@ -304,7 +359,12 @@ def _gd_loop_local(
 
     def body(state):
         psi_l, tnp_l, it, _, vel_l, e_ref, stalled = state
-        if fused:
+        if fused and use_fold:
+            psi_l, tnp_l, vel_l, mnorm = _gd_step_local_fused_fold(
+                psi_l, tnp_l, tg_pad_f, live_pad_f, taps_static, alpha,
+                w_reg, z0, axis, K, z_global, interpret, vel_l, momentum,
+            )
+        elif fused:
             psi_l, tnp_l, vel_l, mnorm = _gd_step_local_fused(
                 psi_l, tnp_l, tg_pad_f, live_pad_f, taps_static, alpha,
                 w_reg, z0, axis, K, z_global, interpret, vel_l, momentum,
@@ -316,7 +376,7 @@ def _gd_loop_local(
             )
         if stall_window:
             it1 = it + 1
-            d = tnp_l - tg_l
+            d = tnp_l - (tg_lf if use_fold else tg_l)
             e_now = 0.5 * jax.lax.psum(jnp.sum(d * d), axis)
             at_check = (it1 % stall_window) == 0
             stalled = stalled | (
@@ -331,6 +391,11 @@ def _gd_loop_local(
         cond, body,
         (psi_l, tnp0, jnp.int32(0), inf, vel0, inf, jnp.bool_(False)),
     )
+    if use_fold:
+        from sobfu_tpu.ops.pallas_kernels import unfold_y
+
+        psi_l = unfold_y(psi_l)
+        tnp_l = unfold_y(tnp_l)
     return psi_l, tnp_l, iters, mnorm
 
 

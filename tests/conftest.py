@@ -99,6 +99,8 @@ _SLOW = {
     "test_sharded_fused_kernel_matches_window_solve",
     "test_sharded_fine_window_matches_single_chip_compositive",
     "test_sharded_production_config_matches_single_chip",
+    "test_sharded_fold_kernel_matches_single_chip",
+    "test_sharded_fold_fine_window_matches_xla",
     "test_frame_step_with_window_warp",
     # test_mc.py
     "test_mc_capacity_clamp",

@@ -332,6 +332,35 @@ def test_sharded_512_lowering_no_all_gather():
     # halo exchange is present (collective_permute is how ppermute lowers)
     assert "collective_permute" in txt
 
+    # ---- halo-exchange COST MODEL (VERDICT r3 item 5) ----
+    # every collective_permute operand must be an O(halo) z-slice: its
+    # z-extent (3rd-from-last dim) <= max(stencil+conv halo 4, window K=2),
+    # never the 64-row local block — the communicated bytes per exchange
+    # are then bounded by halo/block = 4/64 of the state, independent of
+    # grid size. Sum the per-iteration loop-body exchange too: one psi(3ch)
+    # + one tnp + one dU(3ch) halo pair per iteration at H=4.
+    import re
+
+    shapes = [
+        m.group(1)
+        for ln in txt.splitlines()
+        if "collective_permute" in ln
+        for m in [re.search(r"\(tensor<([0-9x]+)xf32>\)\s*->", ln)]
+        if m
+    ]
+    assert shapes, "no collective_permute operands parsed"
+    halo = 4
+    per_msg_bytes = []
+    for s in shapes:
+        d = [int(v) for v in s.split("x")]
+        assert d[-3] <= halo, f"non-halo z-slice exchanged: {d}"
+        per_msg_bytes.append(4 * int(np.prod(d)))
+    # per-iteration exchange (psi + tnp + dU, 2 directions each) at H=4:
+    # (3+1+3) ch * 4 rows * 512 * 512 * 4 B * 2 dirs = ~58.7 MB — vs the
+    # 2.1 GB full-state all-gather the exact mode would pay. Assert the
+    # LARGEST single message stays at the halo scale.
+    assert max(per_msg_bytes) <= 3 * halo * 512 * 512 * 4, max(per_msg_bytes)
+
 
 def test_sharded_fine_window_matches_single_chip_compositive():
     """Round-3 production parity: the sharded COMPOSITIVE fine level
@@ -461,3 +490,72 @@ def test_frame_step_production_round3_config():
     # the flat synthetic scene can converge in 1 iteration per level; the
     # point here is that the full production config compiles + runs
     assert int(np.asarray(iters)[0]) >= 2  # >= 1 coarse + 1 fine
+
+
+def _scene_x64(shift):
+    """Non-cubic scene with X=64 (the Y-fold dispatch width)."""
+    dims = (16, 16, 64)
+    vs = SIZE / 64
+    trunc, eta = 10 * vs, 2 * vs
+    c = (32 * vs, 8 * vs, 8 * vs)  # centre (x, y, z) in metric units
+    tg, wg = init_sphere(dims, (vs, vs, vs), c, 6 * vs, trunc, eta)
+    tn, wn = init_sphere(
+        dims, (vs, vs, vs), (c[0] - shift, c[1], c[2]), 6 * vs, trunc, eta
+    )
+    return dims, tg, wg, tn, wn
+
+
+def test_sharded_fold_kernel_matches_single_chip():
+    """X=64 shards auto-dispatch the Y-FOLDED fused kernel (ICI-halo-fed,
+    z_base/z_global global-coordinate masks, interpret mode on the CPU
+    mesh): matches the single-chip XLA window solve exactly (VERDICT r3
+    item 5 — X=64 shards previously fell back to the lane-padded kernel)."""
+    dims, tg, wg, tn, wn = _scene_x64(1.5 * SIZE / 64)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    psi = fields.identity_field(dims)
+    args = (jnp.float32(0.1), jnp.float32(0.4), jnp.int32(10), jnp.float32(-1.0))
+
+    ref = solver.estimate_psi(
+        psi, tg, wg, tn, wn, taps, *args, inverse_iters=4, warp_window=2,
+        momentum=0.9,
+    )
+
+    mesh = make_mesh(n_z=2)  # local depth 8: fold needs Zl % 8 == 0
+    fn = make_sharded_estimate_psi(
+        mesh, inverse_iters=4, warp_window=2, fused=True,
+        taps_static=taps_static, momentum=0.9,
+    )
+    psi_s, psi_inv_s, tnp_s, _, _, _, iters_s, mn_s = fn(
+        psi, tg, wg, tn, wn, taps, *args
+    )
+    assert int(iters_s) == 10
+    np.testing.assert_allclose(np.asarray(psi_s), np.asarray(ref.psi), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(tnp_s), np.asarray(ref.tsdf_n_psi), atol=2e-5
+    )
+    np.testing.assert_allclose(float(mn_s), float(ref.max_norm), rtol=1e-4)
+
+
+def test_sharded_fold_fine_window_matches_xla():
+    """The fold kernel on the sharded compositive fine level (X=64) == the
+    sharded XLA fine_window solve, stall stop included."""
+    dims, tg, wg, tn, wn = _scene_x64(1.0 * SIZE / 64)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    taps_static = tuple(float(t) for t in np.asarray(taps))
+    psi = fields.identity_field(dims)
+    args = (jnp.float32(0.1), jnp.float32(0.4), jnp.int32(8), jnp.float32(-1.0))
+
+    mesh = make_mesh(n_z=2)
+    xla = make_sharded_estimate_psi(
+        mesh, inverse_iters=4, warp_window=2, fine_window=1, momentum=0.9,
+        stall_window=4, stall_rel=1e-3,
+    )(psi, tg, wg, tn, wn, taps, *args)
+    fus = make_sharded_estimate_psi(
+        mesh, inverse_iters=4, warp_window=2, fine_window=1, momentum=0.9,
+        stall_window=4, stall_rel=1e-3, fused=True, taps_static=taps_static,
+    )(psi, tg, wg, tn, wn, taps, *args)
+
+    assert int(fus[6]) == int(xla[6])
+    np.testing.assert_allclose(np.asarray(fus[0]), np.asarray(xla[0]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fus[2]), np.asarray(xla[2]), atol=2e-5)
