@@ -392,41 +392,49 @@ def main():
                 pass
 
     # 512^3 on ONE chip (the BASELINE hat/umbrella scale, config 4):
-    # per-iteration cost of the fused ping-pong GD loop, measured in a
-    # TIME-BOUNDED subprocess (a cold 512^3 Mosaic compile can take >20
-    # minutes on a contended pool; the persistent compilation cache makes
-    # warm runs fast, and a timeout must not sink the whole bench).
+    # the z-slab SCAN solve (solver.estimate_psi_zscan) — its compiled
+    # program is one-slab-sized, which is what finally gets 512^3 past
+    # this pool's compile service (round-3: the fused Mosaic kernel took
+    # >58 min to compile, the unrolled chunked/monolithic XLA programs
+    # died with HTTP 500; the scan program compiles in ~6 min and runs
+    # ~253 ms/iter, docs/BENCHLOG.md round-4). bf16 STORAGE for the
+    # loop-invariant volumes, all arithmetic f32.
     per_iter_512 = None
     if on_tpu:
-        import re
-        import subprocess
+        def run_512():
+            from sobfu_tpu import fields as _f, solver as _s
+            from sobfu_tpu.tsdf import init_sphere as _sph
+
+            d = 512
+            vsz = 1.0 / d
+            dms = (d,) * 3
+            tg5, _ = _sph(dms, (vsz,) * 3, (0.5, 0.5, 0.5), 0.20,
+                          8 * vsz, 3 * vsz)
+            tn5, _ = _sph(dms, (vsz,) * 3, (0.5 - 1.3 * vsz, 0.5, 0.5),
+                          0.205, 8 * vsz, 3 * vsz)
+            taps5 = jnp.asarray(_s.sobolev_filter_1d(7, 0.1))
+            psi5 = _f.identity_field(dms)
+
+            def go(n):
+                t0 = time.perf_counter()
+                out = _s.estimate_psi_zscan(
+                    psi5, tg5, tn5, taps5, jnp.float32(0.05),
+                    jnp.float32(0.2), jnp.int32(n), jnp.float32(-1.0),
+                    slab=32, warp_window=K,
+                )
+                _ = float(out[3])
+                return time.perf_counter() - t0
+
+            go(2)  # compile + warm
+            best = float("inf")
+            for _ in range(2):
+                best = min(best, (go(6) - go(2)) / 4)
+            return best
 
         try:
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.join(
-                        os.path.dirname(os.path.abspath(__file__)),
-                        "tools", "profile_fused_pp.py",
-                    ),
-                    "512", str(K), "0", "0",
-                ],
-                capture_output=True, text=True, timeout=600,
-                env={**os.environ, "PP_STACK": "0", "PP_XMATS": "0"},
-            )
-            m = re.search(r"per-iter ([0-9.]+) ms", proc.stdout)
-            if m:
-                per_iter_512 = float(m.group(1)) / 1e3
+            per_iter_512 = _with_retries(run_512, attempts=2)
         except Exception:  # noqa: BLE001 — secondary metric, never fatal
             pass
-        # Round-3 finding: 512^3 is blocked by this pool's COMPILE
-        # INFRASTRUCTURE, not by chip memory — a cold Mosaic compile of
-        # the fused kernel exceeds 58 minutes, the XLA monolithic and
-        # z-chunked programs die in the remote compile helper with
-        # HTTP 500 (helper subprocess exit 1), and a bare windowed GD
-        # loop compiles for > 20 minutes. The subprocess above records a
-        # number whenever a warm compilation cache exists; otherwise the
-        # field stays null (documented in docs/BENCHLOG.md).
 
     # production mode run to convergence (pyramid + momentum + fused),
     # with plain-GD energy equivalence evidence (VERDICT item 3)
@@ -470,6 +478,7 @@ def main():
         "per_iter_ms_512cubed": (
             round(per_iter_512 * 1e3, 4) if per_iter_512 else None
         ),
+        "solver_path_512": "zscan_xla_bf16" if per_iter_512 else None,
         "fps_at_2048_iters": round(1.0 / frame_s_2048, 3),
         f"fps_at_{dim_ref}cubed_2048_iters": round(fps_64, 2),
         f"fps_at_{dim_ref}cubed_2048_iters_window": k64,

@@ -2798,6 +2798,185 @@ def estimate_inverse_window_pallas_multi(
     )(disp_t, q0)
 
 
+def _make_compose_weight_kernel(BZ, TY, Y, X, Kf, Kw, Zg):
+    def kernel(field_ref, wvol_ref, pos_ref, out_ref, wout_ref):
+        # field_ref: f32[1, 1, 3, BZ+2Kf, TY+2Kf, X] psi0 halo tile
+        # wvol_ref:  f32[1, 1, 1, BZ+2Kw, TY+2Kw, X] weight_n halo tile
+        # pos_ref:   f32[3, BZ, TY, X] ABSOLUTE g = id + delta (the fused
+        #            loop's state is absolute, so passing it directly
+        #            saves a full-volume subtract + re-add)
+        # out_ref:   f32[3, BZ, TY, X] psi_new = psi0 o g
+        # wout_ref:  f32[1, BZ, TY, X] weight_n floor-sampled at psi_new
+        iz = pl.program_id(0)
+        iy = pl.program_id(1)
+        z0 = iz * BZ
+        y0 = iy * TY
+        shape_o = (BZ, TY, X)
+        vx = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2).astype(
+            jnp.float32
+        )
+        vy = (jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) + y0).astype(
+            jnp.float32
+        )
+        vz = (jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0).astype(
+            jnp.float32
+        )
+        hi = Kf - 1e-4
+        dx = jnp.clip(jnp.clip(pos_ref[0], 0.0, X - 1) - vx, -Kf, hi)
+        dy = jnp.clip(jnp.clip(pos_ref[1], 0.0, Y - 1) - vy, -Kf, hi)
+        dz = jnp.clip(jnp.clip(pos_ref[2], 0.0, Zg - 1) - vz, -Kf, hi)
+        wxs = [
+            jnp.maximum(0.0, 1.0 - jnp.abs(dx - ox))
+            for ox in range(-Kf, Kf + 1)
+        ]
+        wys = [
+            jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy))
+            for oy in range(-Kf, Kf + 1)
+        ]
+
+        def field_body(i, accs):
+            oz = i - Kf
+            wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32)))
+            outs = []
+            for c in range(3):
+                lz = field_ref[0, 0, c, pl.ds(Kf + oz, BZ), :, :]
+                lxz = [_shift_x_edge(lz, ox, X) for ox in range(-Kf, Kf + 1)]
+                acc_y = jnp.zeros(shape_o, jnp.float32)
+                for oy in range(-Kf, Kf + 1):
+                    acc_x = jnp.zeros(shape_o, jnp.float32)
+                    for ox in range(-Kf, Kf + 1):
+                        lzy = lxz[ox + Kf][:, Kf + oy: Kf + oy + TY, :]
+                        acc_x = acc_x + wxs[ox + Kf] * lzy
+                    acc_y = acc_y + wys[oy + Kf] * acc_x
+                outs.append(accs[c] + wz * acc_y)
+            return tuple(outs)
+
+        z3 = (
+            jnp.zeros(shape_o, jnp.float32),
+            jnp.zeros(shape_o, jnp.float32),
+            jnp.zeros(shape_o, jnp.float32),
+        )
+        px, py, pz = jax.lax.fori_loop(0, 2 * Kf + 1, field_body, z3)
+        out_ref[0] = px
+        out_ref[1] = py
+        out_ref[2] = pz
+
+        # ---- weight_n floor-sampled at the just-computed psi_new ----
+        # (|psi_new - v| <= Kw by the total-window bound); floor semantics
+        # identical to _make_warp_kernel(floor=True)
+        fx = jnp.clip(jnp.floor(jnp.clip(px, 0.0, X - 1)) - vx, -Kw, Kw)
+        fy = jnp.clip(jnp.floor(jnp.clip(py, 0.0, Y - 1)) - vy, -Kw, Kw)
+        fz = jnp.clip(jnp.floor(jnp.clip(pz, 0.0, Zg - 1)) - vz, -Kw, Kw)
+        ixs = [(fx == ox).astype(jnp.float32) for ox in range(-Kw, Kw + 1)]
+        iys = [(fy == oy).astype(jnp.float32) for oy in range(-Kw, Kw + 1)]
+
+        def weight_body(i, acc):
+            oz = i - Kw
+            wz = (fz == oz.astype(jnp.float32)).astype(jnp.float32)
+            lz = wvol_ref[0, 0, 0, pl.ds(Kw + oz, BZ), :, :]
+            lxz = [_shift_x_edge(lz, ox, X) for ox in range(-Kw, Kw + 1)]
+            acc_y = jnp.zeros(shape_o, jnp.float32)
+            for oy in range(-Kw, Kw + 1):
+                acc_x = jnp.zeros(shape_o, jnp.float32)
+                for ox in range(-Kw, Kw + 1):
+                    lzy = lxz[ox + Kw][:, Kw + oy: Kw + oy + TY, :]
+                    acc_x = acc_x + ixs[ox + Kw] * lzy
+                acc_y = acc_y + iys[oy + Kw] * acc_x
+            return acc + wz * acc_y
+
+        wout_ref[0] = jax.lax.fori_loop(
+            0, 2 * Kw + 1, weight_body, jnp.zeros(shape_o, jnp.float32)
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Kf", "Kw", "BZ", "TY", "interpret")
+)
+def compose_weight_pallas(
+    field: jnp.ndarray,   # f32[3, Z, Y, X] psi0 (absolute coords)
+    pos: jnp.ndarray,     # f32[3, Z, Y, X] ABSOLUTE g = id + delta
+    weight: jnp.ndarray,  # f32[Z, Y, X] weight_n
+    Kf: int = 1,
+    Kw: int = 2,
+    BZ: int = 8,
+    TY: int = 0,
+    interpret: bool = False,
+):
+    """Compositive-tail fusion: psi_new = psi0 o g AND
+    weight_n_psi = floor-sample(weight_n, psi_new) in ONE pipeline launch.
+
+    Replaces window_warp_field3_pallas + a separate floor warp in the
+    production tail (solver.estimate_psi_compositive total_window mode):
+    the floor sample's position IS the composition's output, so fusing
+    saves a full psi_new HBM round trip and the second launch; taking the
+    loop's ABSOLUTE state g directly also saves the delta subtract /
+    ident re-add round trips. |g - id| <= Kf is the increment window
+    bound. Semantics: fields.sample_trilinear_window on the 3-channel
+    field at window Kf + fields.sample_nearest_floor_window on the weight
+    at window Kw (reference utils.hpp:51-122 trilinear fetch + the
+    nearest-voxel weight rule).
+    """
+    dims = field.shape[1:]
+    Z, Y, X = dims
+    if TY == 0:
+        TY = Y
+        while TY > 8 and TY * X > 32 * 256:
+            TY //= 2
+        while Y % TY:
+            TY //= 2
+    while Z % BZ:
+        BZ //= 2
+    field_t = prestack_warp_vol(field, Kf, BZ, TY)
+    weight_t = prestack_warp_vol(weight[None], Kw, BZ, TY)
+
+    cparams = (
+        {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20)}
+        if not interpret
+        else {}
+    )
+    psi_new, wout = pl.pallas_call(
+        _make_compose_weight_kernel(BZ, TY, Y, X, Kf, Kw, Z),
+        grid=(Z // BZ, Y // TY),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 3, BZ + 2 * Kf, TY + 2 * Kf, X),
+                lambda i, j: (i, j, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, BZ + 2 * Kw, TY + 2 * Kw, X),
+                lambda i, j: (i, j, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, BZ, TY, X),
+                lambda i, j: (0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (3, BZ, TY, X), lambda i, j: (0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, BZ, TY, X), lambda i, j: (0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),
+        ),
+        interpret=interpret,
+        **cparams,
+    )(field_t, weight_t, pos)
+    return psi_new, wout[0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("K", "BZ", "TY", "interpret")
 )

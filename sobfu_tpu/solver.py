@@ -823,6 +823,10 @@ def estimate_inverse_multigrid(
         interpret=interpret,
     )
     q0 = ident + _resample_disp(q_c - ident_c, dims, 2.0)
+    if fine_iters == 0:
+        # anchorless variant (production warm-start-only consumer): skip
+        # the pass-through launch AND its full-res disp prestack entirely
+        return q0
     return estimate_inverse_window_pallas_multi(
         psi, iters=fine_iters, K=K, init=q0, interpret=interpret
     )
@@ -931,6 +935,13 @@ def estimate_psi_pyramid(
             if warp_window is not None
             else None
         )
+        # VMEM-resident multi-iteration chunks on fold-compatible coarse
+        # levels (X=64 on real TPUs): coarse stops are threshold-schedule
+        # warm-start quality, so the <= inner-1 iteration overshoot of
+        # chunked stopping is immaterial there — ~20% cheaper coarse
+        # iterations on the 256^3 production frame. Interpret-mode (CPU
+        # test) runs keep single-step semantics.
+        inner_c = 16 if (fused_c and not db_interpret) else 0
         res_c = estimate_psi(
             psi_c, tg_c, tg_c, tn_c, tn_c, taps, alpha, w_reg,
             coarse_its, thresh_c,
@@ -942,6 +953,7 @@ def estimate_psi_pyramid(
             taps_static=taps_static if fused_c else None,
             db_interpret=db_interpret,
             x_pad_to=max(0, xpt_c) if fused_c else 0,
+            inner_steps=inner_c,
             # NO stall detector at coarse levels: their data energy
             # plateaus early (coarse grids can't resolve the residual),
             # so the stall fires prematurely and shifts iterations to
@@ -1425,10 +1437,20 @@ def estimate_psi_compositive(
             ):
                 # coarse-to-fine warm inverse (see estimate_inverse_
                 # multigrid): ~24.5 -> ~14 ms at 256^3, certified by the
-                # fidelity --production composition-residual gates
+                # fidelity --production composition-residual gates.
+                # skip_inv_warps (the no-log production loop) also drops
+                # the full-res ANCHOR step (~7 ms at 256^3): psi_inv is
+                # then consumed ONLY as the next frame's warm start, and
+                # the anchorless inverse measures 3.0e-2 vox off cold-48
+                # (tools/check_inverse_multigrid.py, prev-frame warm
+                # start) — well inside warm-start tolerance; cross-frame
+                # drift is gated by fidelity --production. Log/viz runs
+                # (skip_inv_warps=False) keep the anchored 1.5e-3 inverse
+                # because phi_global o psi_inv is materialised from it.
                 return estimate_inverse_multigrid(
                     psi_new, iters=inverse_iters, K=total_window,
                     init=psi_inv0,
+                    fine_iters=0 if skip_inv_warps else 1,
                 )
             return tw_inverse(psi_new, iters=inverse_iters, init=psi_inv0)
         if psi_inv0 is None:
@@ -1728,22 +1750,36 @@ def estimate_psi_compositive(
         vel0,
     )
     final = jax.lax.while_loop(cond, gd_step, init)
+    g_abs = None  # fused path: the ABSOLUTE id + delta state, unpadded
     if fused_db:
-        delta_final = unpad_st(final.psi, xl_db) - ident
+        g_abs = unpad_st(final.psi, xl_db)
+        delta_final = g_abs - ident
         tnp_final = unpad_st(final.tsdf_n_psi, xl_db)
         final = final._replace(psi=delta_final, tsdf_n_psi=tnp_final)
 
     # compose: psi_new(v) = psi0(v + delta(v)) — one field sample (exact
     # gather, or an increment-bounded window sample when total_window is set)
     if total_window:
-        psi_new = tw_field(psi0, ident + final.psi)
+        if fused_db and not db_interpret:
+            # ONE launch: composition + weight_n floor warp at psi_new
+            # (the floor sample's position IS the composition output —
+            # fusing saves the psi_new HBM round trip and the second
+            # launch; the loop's absolute state feeds it directly)
+            from sobfu_tpu.ops.pallas_kernels import compose_weight_pallas
+
+            psi_new, weight_n_psi = compose_weight_pallas(
+                psi0, g_abs, weight_n,
+                Kf=warp_window, Kw=total_window,
+            )
+        else:
+            psi_new = tw_field(psi0, ident + final.psi)
+            weight_n_psi = tw_floor(weight_n, psi_new)
         psi_inv = compose_inverse(psi_new, final.psi)
         if skip_inv_warps:  # see the estimate_psi docstring
             tsdf_g_inv, weight_g_inv = tsdf_global, weight_global
         else:
             tsdf_g_inv = tw_scalar(tsdf_global, psi_inv)
             weight_g_inv = tw_floor(weight_global, psi_inv)
-        weight_n_psi = tw_floor(weight_n, psi_new)
     else:
         psi_new = fields.sample_field_trilinear(psi0, ident + final.psi)
         psi_inv = compose_inverse(psi_new, final.psi)
@@ -2040,3 +2076,221 @@ def estimate_psi_chunked(
         max_norm=mnorm,
         energy=energy_hist,
     )
+
+
+# ---------------------------------------------------------------------------
+# z-slab SCAN solve for 512^3-scale grids (TPU extension)
+# ---------------------------------------------------------------------------
+#
+# The z-chunked solve above unrolls a Python loop over chunks, so its HLO
+# grows linearly with the chunk count — at 512^3 the resulting program
+# (and the fused Pallas kernel, and even a monolithic XLA loop) exceeds
+# what this pool's remote compile service will build (docs/BENCHLOG.md
+# round-3: >20 min / HTTP 500). This variant runs the SAME Jacobi-style
+# per-iteration update as a lax.scan over z-slabs: the compiled program
+# contains ONE slab body regardless of grid size, so 512^3 compiles in
+# minutes. Per-slab halos are dynamic slices of the previous iteration's
+# full arrays (edge-padded in z), exactly the single-device analogue of
+# the shard_map halo exchange — stencil+conv reads use the H=4 halo, the
+# live warp a K halo. Loop-invariant volumes (phi_global, live) are
+# optionally stored in bf16 (storage only — all arithmetic in f32),
+# halving their per-iteration HBM traffic; the loop STATE stays f32.
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "slab", "warp_window", "momentum", "storage_bf16",
+    ),
+)
+def estimate_psi_zscan(
+    psi: jnp.ndarray,
+    tsdf_global: jnp.ndarray,
+    tsdf_n: jnp.ndarray,
+    taps: jnp.ndarray,
+    alpha: jnp.ndarray,
+    w_reg: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    max_update_norm_thresh: jnp.ndarray,
+    *,
+    slab: int = 32,
+    warp_window: int = 2,
+    momentum=None,
+    storage_bf16: bool = True,
+):
+    """Windowed GD solve with a lax.scan-over-z-slabs iteration body.
+
+    Semantics: reference solver loop (solver.cu:114-193) with the
+    bounded-window warp — the same update as :func:`estimate_psi`
+    (windowed mode); Jacobi chunking like :func:`estimate_psi_chunked`
+    (every slab reads the PREVIOUS iteration's neighbours). Returns
+    (psi, tsdf_n_psi, iters, max_norm) — the solve core only (pair with
+    the windowed tail helpers for inverse/warps; at this scale the tails
+    are the multi-chip path's job, parallel/sharding.py).
+    """
+    dims = tsdf_n.shape
+    Z, Y, X = dims
+    H = 4  # stencil radius 1 + conv radius 3
+    K = int(warp_window)
+    R = taps.shape[0] // 2  # conv radius (static: shape, not value)
+    assert R <= 3, "H=4 halo covers tap counts <= 7"
+    assert Z % slab == 0
+    n_slabs = Z // slab
+    E = slab + 2 * R  # extended rows on which dU is computed
+    f32 = jnp.float32
+    store = jnp.bfloat16 if storage_bf16 else jnp.float32
+
+    # [Z, 3, Y, X] internal layout: z leading makes every per-slab slice a
+    # leading-axis dynamic slice and the scan output a free reshape
+    psi_zf = jnp.moveaxis(psi, 0, 1)
+    tg_pad_r = jnp.pad(
+        tsdf_global, [(R, R), (0, 0), (0, 0)], mode="edge"
+    ).astype(store)
+    live_pad = jnp.pad(tsdf_n, [(K, K)] * 3, mode="edge").astype(store)
+
+    mu = None if momentum is None else jnp.float32(momentum)
+
+    def warp_slab(psi_s, z0):
+        """Bounded-window warp of the (pre-padded) live volume on one
+        z-slab; psi_s is [slab, 3, Y, X] absolute coords."""
+        zz = jnp.arange(slab, dtype=f32)[:, None, None] + z0.astype(f32)
+        yy = jnp.arange(Y, dtype=f32)[None, :, None]
+        xx = jnp.arange(X, dtype=f32)[None, None, :]
+        hi = K - 1e-4
+        dx = jnp.clip(jnp.clip(psi_s[:, 0], 0.0, X - 1) - xx, -K, hi)
+        dy = jnp.clip(jnp.clip(psi_s[:, 1], 0.0, Y - 1) - yy, -K, hi)
+        dz = jnp.clip(jnp.clip(psi_s[:, 2], 0.0, Z - 1) - zz, -K, hi)
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - o))
+               for o in range(-K, K + 1)]
+        wys = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - o))
+               for o in range(-K, K + 1)]
+        out = jnp.zeros((slab, Y, X), f32)
+        for oz in range(-K, K + 1):
+            lz = jax.lax.dynamic_slice_in_dim(
+                live_pad, z0 + K + oz, slab, axis=0
+            ).astype(f32)
+            wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz))
+            acc_y = jnp.zeros((slab, Y, X), f32)
+            for oy in range(-K, K + 1):
+                lzy = jax.lax.slice_in_dim(lz, K + oy, K + oy + Y, axis=1)
+                acc_x = jnp.zeros((slab, Y, X), f32)
+                for ox in range(-K, K + 1):
+                    acc_x = acc_x + wxs[ox + K] * jax.lax.slice_in_dim(
+                        lzy, K + ox, K + ox + X, axis=2
+                    )
+                acc_y = acc_y + wys[oy + K] * acc_x
+            out = out + wz * acc_y
+        return out
+
+    # initial tnp = warp(live, psi), ALSO slab-scanned: the monolithic
+    # full-volume window sampler's temps alone exceed HBM at 512^3
+    def init_slab(_, i):
+        z0 = i * slab
+        psi_s = jax.lax.dynamic_slice_in_dim(psi_zf, z0, slab, axis=0)
+        return 0.0, warp_slab(psi_s, z0)
+
+    _, tnp0_sl = jax.lax.scan(
+        init_slab, 0.0, jnp.arange(n_slabs, dtype=jnp.int32)
+    )
+    tnp0 = tnp0_sl.reshape(Z, Y, X)
+
+    def gd_iteration(psi_zf, tnp_f, vel_zf):
+        psi_p = jnp.pad(psi_zf, [(H, H), (0, 0), (0, 0), (0, 0)],
+                        mode="edge")
+        tnp_p = jnp.pad(tnp_f, [(H, H), (0, 0), (0, 0)], mode="edge")
+
+        def slab_body(carry, i):
+            z0 = i * slab
+            # extended region: E rows starting at global z0 - R
+            # (padded-array offset z0 + H - R - 1 for the stencil reach)
+            psi_e2 = jax.lax.dynamic_slice_in_dim(
+                psi_p, z0 + H - R - 1, E + 2, axis=0
+            )  # +1 stencil row each side
+            tnp_e2 = jax.lax.dynamic_slice_in_dim(
+                tnp_p, z0 + H - R - 1, E + 2, axis=0
+            )
+
+            gz_e = jnp.clip(
+                jnp.arange(E, dtype=jnp.int32)[:, None, None] + (z0 - R),
+                0, Z - 1,
+            )
+            mz = ((gz_e > 0) & (gz_e < Z - 1)).astype(f32)
+
+            ctr = lambda a: a[1:1 + E]  # noqa: E731 — drop stencil rows
+            tnp_e = ctr(tnp_e2)
+            psi_e = ctr(psi_e2)
+
+            # gradient of tnp on the extended rows (x/y vanish at global
+            # array edges via central_diff; z masked by global index)
+            gx = fields.central_diff(tnp_e, -1)
+            gy = fields.central_diff(tnp_e, -2)
+            gzd = (tnp_e2[2:] - tnp_e2[:-2]) * 0.5 * mz
+            diff = tnp_e - jax.lax.dynamic_slice_in_dim(
+                tg_pad_r, z0, E, axis=0
+            ).astype(f32)
+
+            # negated Laplacian of psi on the extended rows
+            lap = -(
+                fields.second_diff(psi_e, -1)
+                + fields.second_diff(psi_e, -2)
+                + (psi_e2[2:] + psi_e2[:-2] - 2.0 * psi_e) * mz[:, None]
+            )
+
+            grad = jnp.stack([gx, gy, gzd], axis=1)  # [E, 3, Y, X]
+            dU = diff[:, None] * grad + w_reg * lap
+
+            # Sobolev smoothing: x/y convs on the CENTER rows, z conv
+            # consumes the 2R extended rows (sum of 1-D convs, the
+            # reference's solver.cu:290,366,443 accumulate convention)
+            dU_c = dU[R:R + slab]
+            n_taps = taps.shape[0]
+            dU_S = conv(dU_c, taps, -1) + conv(dU_c, taps, -2)
+            for k in range(n_taps):
+                dU_S = dU_S + taps[n_taps - 1 - k] * dU[k:k + slab]
+
+            if mu is not None:
+                vel_s = jax.lax.dynamic_slice_in_dim(vel_zf, z0, slab, 0)
+                vel_new = mu * vel_s + dU_S
+                update = alpha * vel_new
+            else:
+                vel_new = jnp.zeros((0,), f32)
+                update = alpha * dU_S
+            psi_new_s = psi_e[R:R + slab] - update
+
+            # bounded-window warp of the live volume at the new psi
+            # (pre-padded store-dtype volume; arithmetic in f32)
+            tnp_new_s = warp_slab(psi_new_s, z0)
+
+            mx = jnp.max(jnp.sum(update * update, axis=1))
+            return jnp.maximum(carry, mx), (psi_new_s, tnp_new_s, vel_new)
+
+        mx_sq, (psi_sl, tnp_sl, vel_sl) = jax.lax.scan(
+            slab_body, jnp.float32(0.0), jnp.arange(n_slabs, dtype=jnp.int32)
+        )
+        psi_new = psi_sl.reshape(Z, 3, Y, X)
+        tnp_new = tnp_sl.reshape(Z, Y, X)
+        vel_new = (
+            vel_sl.reshape(Z, 3, Y, X) if mu is not None else vel_zf
+        )
+        return psi_new, tnp_new, vel_new, jnp.sqrt(mx_sq)
+
+    conv = fields.conv1d_replicate
+
+    vel0 = (
+        jnp.zeros_like(psi_zf) if mu is not None else jnp.zeros((0,), f32)
+    )
+
+    def cond(state):
+        _, _, _, it, mnorm = state
+        return (it < max_iter) & (mnorm > max_update_norm_thresh)
+
+    def body(state):
+        psi_zf, tnp_f, vel_zf, it, _ = state
+        psi_zf, tnp_f, vel_zf, mnorm = gd_iteration(psi_zf, tnp_f, vel_zf)
+        return psi_zf, tnp_f, vel_zf, it + 1, mnorm
+
+    psi_zf, tnp_f, _, iters, mnorm = jax.lax.while_loop(
+        cond, body,
+        (psi_zf, tnp0, vel0, jnp.int32(0), jnp.float32(jnp.inf)),
+    )
+    return jnp.moveaxis(psi_zf, 1, 0), tnp_f, iters, mnorm

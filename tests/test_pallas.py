@@ -367,6 +367,37 @@ def test_field3_warp_pallas_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_compose_weight_pallas_matches_xla():
+    """Fused compositive tail (psi_new = psi0 o (id + delta) AND the
+    weight_n floor warp at psi_new, ONE launch) == the two XLA window
+    samplers it replaces, identity added in-kernel."""
+    from sobfu_tpu.ops.pallas_kernels import compose_weight_pallas
+
+    dims = (16, 16, 64)
+    rng = np.random.default_rng(11)
+    ident = fields.identity_field(dims)
+    Kf, Kw = 1, 2
+    # |psi0 - id| <= Kw - Kf so |psi_new - v| stays within the Kw bound
+    field = ident + jnp.asarray(
+        rng.uniform(-0.95, 0.95, (3,) + dims), jnp.float32
+    )
+    delta = jnp.asarray(
+        rng.uniform(-(Kf - 0.05), Kf - 0.05, (3,) + dims), jnp.float32
+    )
+    weight = jnp.asarray(
+        (rng.uniform(0, 1, dims) > 0.4).astype(np.float32)
+    )
+
+    psi_new, wnp = compose_weight_pallas(
+        field, ident + delta, weight, Kf=Kf, Kw=Kw, interpret=True
+    )
+    ref_psi = fields.sample_trilinear_window(field, ident + delta, max_disp=Kf)
+    ref_w = fields.sample_nearest_floor_window(weight, ref_psi, max_disp=Kw)
+    np.testing.assert_allclose(np.asarray(psi_new), np.asarray(ref_psi),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(wnp), np.asarray(ref_w))
+
+
 @pytest.mark.parametrize("momentum", [None, 0.9])
 def test_fused_stacked_iteration_matches_xla(momentum):
     """BlockSpec-stacked small-grid fused iteration == the XLA window step

@@ -959,3 +959,54 @@ def test_pyramid_stall_detector_skips_coarse_levels():
     # fine level stalls at exactly 2*stall_window = 8; if the coarse level
     # stalled too, the total would be 16
     assert int(res.iters) > 24, int(res.iters)
+
+
+def test_zscan_solve_matches_window_solve():
+    """estimate_psi_zscan (the 512^3-scale lax.scan-over-z-slabs engine,
+    one slab body in the compiled program) == the monolithic windowed
+    estimate_psi, f32 storage exactly, bf16 STORAGE within the bf16
+    representation error of the loop-invariant volumes; momentum too."""
+    from sobfu_tpu.tsdf import init_sphere
+
+    dims = (16, 16, 16)
+    vs = 1.0 / 16
+    trunc, eta = 8 * vs, 3 * vs
+    tg, wg = init_sphere(dims, (vs,) * 3, (0.5, 0.5, 0.5), 0.2, trunc, eta)
+    tn, wn = init_sphere(
+        dims, (vs,) * 3, (0.5 - 1.3 * vs, 0.5, 0.5), 0.205, trunc, eta
+    )
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    psi = fields.identity_field(dims)
+    args = (jnp.float32(0.05), jnp.float32(0.2), jnp.int32(8),
+            jnp.float32(-1.0))
+
+    ref = solver.estimate_psi(
+        psi, tg, wg, tn, wn, taps, *args, warp_window=2, inverse_iters=1
+    )
+    psi_s, tnp_s, iters, mn = solver.estimate_psi_zscan(
+        psi, tg, tn, taps, *args, slab=4, warp_window=2, storage_bf16=False
+    )
+    assert int(iters) == 8
+    np.testing.assert_allclose(np.asarray(psi_s), np.asarray(ref.psi),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tnp_s),
+                               np.asarray(ref.tsdf_n_psi), atol=1e-6)
+    np.testing.assert_allclose(float(mn), float(ref.max_norm), rtol=1e-5)
+
+    psi_b, tnp_b, _, _ = solver.estimate_psi_zscan(
+        psi, tg, tn, taps, *args, slab=4, warp_window=2, storage_bf16=True
+    )
+    assert float(jnp.max(jnp.abs(psi_b - ref.psi))) < 2e-3
+    assert float(jnp.max(jnp.abs(tnp_b - ref.tsdf_n_psi))) < 8e-3
+
+    refm = solver.estimate_psi(
+        psi, tg, wg, tn, wn, taps, *args, warp_window=2, inverse_iters=1,
+        momentum=0.9,
+    )
+    psi_m, _, _, mn_m = solver.estimate_psi_zscan(
+        psi, tg, tn, taps, *args, slab=4, warp_window=2, momentum=0.9,
+        storage_bf16=False,
+    )
+    np.testing.assert_allclose(np.asarray(psi_m), np.asarray(refm.psi),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(mn_m), float(refm.max_norm), rtol=1e-5)

@@ -86,6 +86,15 @@ def main():
     q_mg_prev = solver.estimate_inverse_multigrid(
         psi, iters=3, K=2, init=warm_prev
     )
+    # NO fine anchor (fine_iters=0): candidate for the no-log production
+    # loop, where psi_inv is consumed ONLY as the next frame's warm start
+    # — the 256^3 anchor step is ~7 ms of device tail
+    q_mg0_prev = solver.estimate_inverse_multigrid(
+        psi, iters=3, K=2, init=warm_prev, fine_iters=0
+    )
+    q_mg0c4_prev = solver.estimate_inverse_multigrid(
+        psi, iters=4, K=2, init=warm_prev, fine_iters=0
+    )
 
     for name, q in (
         ("cold-48", q_cold),
@@ -94,6 +103,8 @@ def main():
         ("multigrid c3+f2", q_mg2),
         ("warm-3 PREV-frame", q_w3_prev),
         ("multigrid PREV c3+f1", q_mg_prev),
+        ("multigrid PREV c3+f0", q_mg0_prev),
+        ("multigrid PREV c4+f0", q_mg0c4_prev),
     ):
         dq = float(jnp.max(jnp.abs(q - q_cold)))
         r = float(resid(psi, q))
