@@ -287,6 +287,94 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
     return out
 
 
+def pipeline_fps(dim: int, n_frames: int = 6) -> dict:
+    """END-TO-END pipeline throughput (VERDICT r3 item 2): the full
+    SobFusion frame step — depth upload -> bilateral -> dists ->
+    integrate -> production solve -> fuse — on an in-memory synthetic
+    drifting-sphere stream, production no-log configuration (the frame
+    loop of /root/reference/src/apps/demo.cpp:285-510 without disk I/O).
+
+    Steady-state: n_frames queued back-to-back (the pipeline never syncs
+    to host mid-frame), one trailing block — the same async-dispatch
+    pipelining the CLI's steady-state fps reports.
+    """
+    import jax.numpy as jnp
+
+    from sobfu_tpu.config import Intr, Params, translation_pose
+    from sobfu_tpu.pipeline import SobFusion
+
+    H, W = 240, 320
+    intr = Intr(250.0, 250.0, W / 2 - 0.5, H / 2 - 0.5)
+
+    def render(centre, radius=0.08):
+        u = np.arange(W, dtype=np.float64)[None, :]
+        v = np.arange(H, dtype=np.float64)[:, None]
+        dx = np.broadcast_to((u - intr.cx) / intr.fx, (H, W))
+        dy = np.broadcast_to((v - intr.cy) / intr.fy, (H, W))
+        d = np.stack([dx, dy, np.ones((H, W))], axis=-1)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        c = np.asarray(centre, np.float64)
+        b = d @ c
+        disc = b * b - (c @ c - radius * radius)
+        t = b - np.sqrt(np.maximum(disc, 0.0))
+        z = np.where((disc > 0) & (t > 0), t * d[..., 2], 0.0)
+        return (z * 1000.0).astype(np.uint16)
+
+    p = Params()
+    p.volume_dims = (dim,) * 3
+    p.volume_size = (0.4, 0.4, 0.4)
+    p.volume_pose = translation_pose((-0.2, -0.2, 0.25))
+    p.intr = intr
+    vs = 0.4 / dim
+    p.tsdf_trunc_dist = 8.0 * vs
+    p.eta = 3.0 * vs
+    p.start_frame = 1
+    p.max_iter = 1024
+    p.max_update_norm = 4e-3 * dim / 128.0
+    p.alpha = 0.05
+    p.w_reg = 0.2
+    # the shipped production solver configuration (USAGE.md); CPU smoke
+    # runs keep the XLA path (no Mosaic on the CPU backend)
+    p.warp_window = 2
+    p.fused_pallas = jax.devices()[0].platform != "cpu"
+    p.momentum = 0.95
+    p.pyramid_levels = 3 if dim >= 256 else 2
+    p.fine_window = 1
+    p.stall_window = 16
+    p.stall_rel = 1e-2
+    p.inverse_iters = 3
+    p.inverse_warm = True
+    p.conv_mxu = True
+
+    fusion = SobFusion(p)
+    fusion.need_inv_warps = False  # no-log loop (CLI default)
+
+    # per-frame motion inside the K=2 window at this voxel size
+    step_m = 1.1 * vs
+    frames = [
+        jnp.asarray(render((i * step_m, 0.0, 0.45)))
+        for i in range(n_frames + 2)
+    ]
+    fusion(frames[0])  # frame 0: integrate only
+    fusion(frames[1])  # frame 1: compile + first solve
+    import jax as _jax
+
+    _jax.block_until_ready(fusion.phi_global.tsdf)
+
+    t0 = time.perf_counter()
+    for f in frames[2:]:
+        fusion(f)
+    _jax.block_until_ready(fusion.phi_global.tsdf)
+    dt = (time.perf_counter() - t0) / n_frames
+    iters = int(fusion.last_solve.iters)
+    return {
+        "fps": round(1.0 / dt, 2),
+        "ms_per_frame": round(dt * 1e3, 1),
+        "iters_last": iters,
+        "frames": n_frames,
+    }
+
+
 def _with_retries(fn, attempts=3, cooldown_s=90):
     """The tunneled pool chip sporadically aborts / restarts; retry."""
     for i in range(attempts):
@@ -460,6 +548,19 @@ def main():
         except Exception:  # noqa: BLE001
             pass
 
+    # END-TO-END pipeline fps (depth -> preprocess -> integrate -> solve
+    # -> fuse, the full SobFusion frame step; VERDICT r3 item 2)
+    pipe128 = pipe256 = {}
+    if on_tpu:
+        try:
+            pipe128 = _with_retries(lambda: pipeline_fps(128), attempts=2)
+        except Exception:  # noqa: BLE001 — secondary metric, never fatal
+            pass
+        try:
+            pipe256 = _with_retries(lambda: pipeline_fps(256), attempts=2)
+        except Exception:  # noqa: BLE001
+            pass
+
     # end-to-end solve latency at the reference's own workload settings
     frame_s_2048 = per_iter * 2048
     result = {
@@ -492,6 +593,8 @@ def main():
         ),
         "convergence_mode": conv or None,
         "convergence_mode_256cubed": conv256 or None,
+        "pipeline_fps_128": pipe128 or None,
+        "pipeline_fps_256": pipe256 or None,
         "reference_fps_headline": 2.0,
         "reference_baseline": "2 fps @ 64^3 x 2048 iters (sm_61 GPU) = 1.07e9 vox-it/s",
     }

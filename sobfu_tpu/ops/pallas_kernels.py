@@ -1266,9 +1266,13 @@ def _gd_tile_compute_fold(
         else:
             upd = alpha * acc
         psi_out[c] = sp[c, H:H + BZ, HF:HF + TYf, :] - upd
-        update_sq = upd * upd if update_sq is None else update_sq + upd * upd
+        if mx_out is not None:
+            update_sq = (
+                upd * upd if update_sq is None else update_sq + upd * upd
+            )
 
-    mx_out[:] = jnp.full((1, 8, 128), jnp.max(update_sq), jnp.float32)
+    if mx_out is not None:
+        mx_out[:] = jnp.full((1, 8, 128), jnp.max(update_sq), jnp.float32)
 
     if reg_out is not None:
         d0 = diff[R:R + BZ, Rf:Rf + TYf, :]
@@ -1315,21 +1319,62 @@ def _gd_tile_compute_fold(
     }
     wxs_sw = [_swap_segments(w) for w in wxs]
 
-    def warp_body(i, acc):
-        oz = i - K
-        lz = live_slice(oz)  # (BZ, TYf + 2*_HF, XF)
-        lxz = [_shift_x_fold(lz, ox, X) for ox in range(-K, K + 1)]
-        acc_y = jnp.zeros(shape_o, jnp.float32)
-        for d in ds:
-            rows = [t[:, HF + d:HF + d + TYf, :] for t in lxz]
+    if K == 1:
+        # K=1 pruning (numerically IDENTICAL — only terms whose hat
+        # weight is exactly zero are dropped): |dy| < 1, so the PLAIN
+        # y-terms at d = +-1 (real offsets +-2) vanish, and of the two
+        # outer SWAP terms each output segment needs exactly one —
+        # segment 0 reads d=-1 (real oy=-1), segment 1 reads d=+1
+        # (real oy=+1). The two surviving outer swap terms are merged
+        # into ONE accumulation over per-segment-selected rows: the
+        # post-swap segment-s lanes come from the PRE-swap other-segment
+        # lanes, so rows are combined as (seg1 lanes <- d=-1, seg0 lanes
+        # <- d=+1) before the shared wxs_sw accumulation. 27 FMAs/oz
+        # drop to ~12 + 4 selects.
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2)
+        is_seg0 = lane_w < X
+        w_swap_pm = jnp.where(is_seg0, w_swap[-1], w_swap[1])
+
+        def warp_body(i, acc):
+            oz = i - K
+            lz = live_slice(oz)
+            lxz = [_shift_x_fold(lz, ox, X) for ox in range(-K, K + 1)]
+            rows0 = [t[:, HF:HF + TYf, :] for t in lxz]
             a = jnp.zeros(shape_o, jnp.float32)
             b = jnp.zeros(shape_o, jnp.float32)
-            for ox in range(2 * K + 1):
-                a = a + wxs[ox] * rows[ox]
-                b = b + wxs_sw[ox] * rows[ox]
-            acc_y = acc_y + w_plain[d] * a + w_swap[d] * _swap_segments(b)
-        wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32)))
-        return acc + wz * acc_y
+            bpm = jnp.zeros(shape_o, jnp.float32)
+            for ox in range(3):
+                rm = lxz[ox][:, HF - 1:HF - 1 + TYf, :]
+                rp = lxz[ox][:, HF + 1:HF + 1 + TYf, :]
+                # pre-swap: seg1 lanes feed post-swap seg0 (d=-1) and
+                # seg0 lanes feed post-swap seg1 (d=+1)
+                rcmb = jnp.where(is_seg0, rp, rm)
+                a = a + wxs[ox] * rows0[ox]
+                b = b + wxs_sw[ox] * rows0[ox]
+                bpm = bpm + wxs_sw[ox] * rcmb
+            acc_y = (
+                w_plain[0] * a
+                + w_swap[0] * _swap_segments(b)
+                + w_swap_pm * _swap_segments(bpm)
+            )
+            wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32)))
+            return acc + wz * acc_y
+    else:
+        def warp_body(i, acc):
+            oz = i - K
+            lz = live_slice(oz)  # (BZ, TYf + 2*_HF, XF)
+            lxz = [_shift_x_fold(lz, ox, X) for ox in range(-K, K + 1)]
+            acc_y = jnp.zeros(shape_o, jnp.float32)
+            for d in ds:
+                rows = [t[:, HF + d:HF + d + TYf, :] for t in lxz]
+                a = jnp.zeros(shape_o, jnp.float32)
+                b = jnp.zeros(shape_o, jnp.float32)
+                for ox in range(2 * K + 1):
+                    a = a + wxs[ox] * rows[ox]
+                    b = b + wxs_sw[ox] * rows[ox]
+                acc_y = acc_y + w_plain[d] * a + w_swap[d] * _swap_segments(b)
+            wz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - oz.astype(jnp.float32)))
+            return acc + wz * acc_y
 
     tnp_val = jax.lax.fori_loop(
         0, 2 * K + 1, warp_body, jnp.zeros(shape_o, jnp.float32)
@@ -2456,29 +2501,50 @@ def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
         for c in cin:
             c.wait()
 
-        def one_iter(it, carry):
-            _gd_tile_compute_fold(
-                s_psi, s_tnp, s_tg,
-                lambda oz: s_live[pl.ds(H + oz, Z), :, :],
-                (lambda c: s_vel[c]) if has_vel else None,
-                s_np, s_nt, s_vel if has_vel else None,
-                mx_out.at[pl.ds(it, 1)],
-                0, alpha, w_reg,
-                BZ=Z, TYf=Yf, Z=Z, Y=Y, X=X, K=K, taps=taps,
-                n_taps=n_taps, mu=mu,
-                e_out=e_out.at[pl.ds(it, 1)] if with_energy else None,
-                e_pre_out=(
-                    e_pre_out.at[pl.ds(it, 1)] if with_verbose else None
-                ),
-                reg_out=reg_out.at[pl.ds(it, 1)] if with_verbose else None,
-            )
-            # rebuild the padded state in VMEM for the next iteration
-            for c in range(3):
-                s_psi[c] = _pad_folded_val(s_np[c], Z, Yf, X, H, HF)
-            s_tnp[...] = _pad_folded_val(s_nt[...], Z, Yf, X, H, HF)
-            return carry
+        def make_iter(with_mx):
+            def one_iter(it, carry):
+                _gd_tile_compute_fold(
+                    s_psi, s_tnp, s_tg,
+                    lambda oz: s_live[pl.ds(H + oz, Z), :, :],
+                    (lambda c: s_vel[c]) if has_vel else None,
+                    s_np, s_nt, s_vel if has_vel else None,
+                    mx_out.at[pl.ds(it, 1)] if with_mx else None,
+                    0, alpha, w_reg,
+                    BZ=Z, TYf=Yf, Z=Z, Y=Y, X=X, K=K, taps=taps,
+                    n_taps=n_taps, mu=mu,
+                    e_out=e_out.at[pl.ds(it, 1)] if with_energy else None,
+                    e_pre_out=(
+                        e_pre_out.at[pl.ds(it, 1)] if with_verbose else None
+                    ),
+                    reg_out=(
+                        reg_out.at[pl.ds(it, 1)] if with_verbose else None
+                    ),
+                )
+                # rebuild the padded state in VMEM for the next iteration
+                for c in range(3):
+                    s_psi[c] = _pad_folded_val(s_np[c], Z, Yf, X, H, HF)
+                s_tnp[...] = _pad_folded_val(s_nt[...], Z, Yf, X, H, HF)
+                return carry
 
-        jax.lax.fori_loop(0, n_inner, one_iter, jnp.int32(0), unroll=False)
+            return one_iter
+
+        if with_verbose:
+            # every iteration's norm feeds the verbose history rows
+            jax.lax.fori_loop(
+                0, n_inner, make_iter(True), jnp.int32(0), unroll=False
+            )
+        else:
+            # only the LAST iteration's norm is consumed (the chunk-level
+            # stopping check uses mx_vec[-1]); skipping the per-voxel
+            # update-norm accumulation on the other n_inner - 1 steps
+            # saves ~8 VPU ops/voxel on them. Zero the unread rows so the
+            # output block is fully initialised.
+            mx_out[...] = jnp.zeros(mx_out.shape, jnp.float32)
+            jax.lax.fori_loop(
+                0, n_inner - 1, make_iter(False), jnp.int32(0),
+                unroll=False,
+            )
+            make_iter(True)(n_inner - 1, jnp.int32(0))
 
         cout = [
             pltpu.make_async_copy(s_psi, psi_out, sems.at[0]),
@@ -2515,9 +2581,12 @@ def fused_gd_multi_fold(
     VMEM-resident (see module comment above). State arrays are PADDED
     (pad_folded) so consecutive calls chain with no re-padding. Returns
     (psi_pad', tnp_pad', vel', mx_sq[n_inner], e_data[n_inner] | None):
-    per-ITERATION max-update-norm^2 and data-energy vectors, so callers
-    can stop at chunk granularity yet report/check per-iteration values.
-    Numerics per iteration identical to :func:`fused_gd_iteration_fold`.
+    per-ITERATION data-energy vector, so callers can stop at chunk
+    granularity yet check per-iteration stall values. mx_sq: only the
+    LAST row is computed unless with_verbose (the chunk stop consumes
+    mx_sq[-1]; the other rows are zeroed — skipping their per-voxel
+    norm accumulation saves ~8 VPU ops/voxel). Numerics per iteration
+    identical to :func:`fused_gd_iteration_fold`.
 
     with_verbose: additionally return per-iteration PRE-update data and
     regulariser energies — (..., e_pre[n_inner], e_reg[n_inner]) appended
