@@ -432,9 +432,13 @@ def _pyramid_warmstart_local(
             tg_c.shape[-3:], psi_l.dtype
         ).at[2].add(z0_c.astype(psi_l.dtype))
         tn_src_c = _halo_exchange_z(tn_c, K, axis)
+        # coarse threshold schedule: level L stops at thresh * 0.5^L —
+        # constant METRIC accuracy per level, matching the single-chip
+        # pyramid's coarse_thresh_scale default (solver.py)
+        thresh_c = thresh * jnp.float32(0.5 ** lev)
         psi_c, _, it_c, _ = _gd_loop_local(
             ident_c + disp, tg_c, tn_c, tn_src_c, taps, alpha, w_reg,
-            coarse_its, thresh, z0_c, axis, K, momentum=momentum,
+            coarse_its, thresh_c, z0_c, axis, K, momentum=momentum,
         )
         total_coarse = total_coarse + it_c
         up = pyr[lev - 1][0].shape[-3:]

@@ -101,6 +101,7 @@ _SLOW = {
     "test_sharded_production_config_matches_single_chip",
     "test_sharded_fold_kernel_matches_single_chip",
     "test_sharded_fold_fine_window_matches_xla",
+    "test_sharded_pyramid_seam_cost_bounded",
     "test_frame_step_with_window_warp",
     # test_mc.py
     "test_mc_capacity_clamp",

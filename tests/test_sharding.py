@@ -308,6 +308,48 @@ def test_sharded_pyramid_reaches_oracle_energy():
     assert not np.isnan(np.asarray(pyr[0])).any()
 
 
+def test_sharded_pyramid_seam_cost_bounded():
+    """The per-shard edge-extension upsample (_upsample2_disp_local) has
+    z-SEAMS between shards; the VERDICT r3 concern is that seams degrade
+    the fine level's warm start. Quantified here: with identical coarse
+    budgets and thresholds, the sharded pyramid's fine level must reach
+    the convergence threshold within a small number of extra iterations
+    of the single-chip pyramid's (whose upsample sees the whole volume),
+    and reach the same energy."""
+    tg, wg, tn, wn = _scene(2.0 * SIZE / DIM)
+    taps = jnp.asarray(solver.sobolev_filter_1d(7, 0.1))
+    psi = fields.identity_field((DIM, DIM, DIM))
+    coarse_cap = 12
+    thresh = jnp.float32(2e-3)
+    args = (jnp.float32(0.1), jnp.float32(0.3), jnp.int32(256), thresh)
+
+    # single-chip pyramid with the SAME coarse semantics as the sharded
+    # warm start (fixed coarse budget, default 0.5 threshold schedule —
+    # the sharded warm start applies the same schedule)
+    ref = solver.estimate_psi_pyramid(
+        psi, tg, wg, tn, wn, taps, *args,
+        levels=2, coarse_max_iter=coarse_cap,
+        warp_window=3, momentum=0.9, inverse_iters=2,
+    )
+    mesh = make_mesh(n_z=4)
+    shd = make_sharded_estimate_psi(
+        mesh, inverse_iters=2, warp_window=3, momentum=0.9,
+        pyramid_levels=2, coarse_max_iter=coarse_cap,
+    )(psi, tg, wg, tn, wn, taps, *args)
+
+    it_ref, it_shd = int(ref.iters), int(shd[6])
+    assert it_shd < 256 + coarse_cap, "sharded fine level never converged"
+    # coarse budgets are identical (both capped), so the total-iteration
+    # difference is the fine level's — the seam may cost a few extra
+    # fine iterations but must not change the convergence regime
+    assert abs(it_shd - it_ref) <= max(4, int(0.15 * it_ref)), (
+        it_shd, it_ref,
+    )
+    e_ref = float(solver.data_energy(tg, ref.tsdf_n_psi))
+    e_shd = float(solver.data_energy(tg, shd[2]))
+    assert e_shd <= e_ref * 1.05 + 1e-6, (e_shd, e_ref)
+
+
 def test_sharded_512_lowering_no_all_gather():
     """512^3 is the multi-chip regime (BASELINE config 4: hat/umbrella).
     The windowed production solve must LOWER at (512,512,512) over an
