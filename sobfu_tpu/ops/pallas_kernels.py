@@ -1150,7 +1150,8 @@ def unpad_db(buf: jnp.ndarray, x_logical: int = 0) -> jnp.ndarray:
 def _gd_tile_compute_fold(
     sp_ref, st_ref, sg_ref, live_slice, vel_at, psi_out, tnp_out, vel_out,
     mx_out, iz, alpha, w_reg, *, BZ, TYf, Z, Y, X, K, taps, n_taps, mu,
-    e_out=None, e_pre_out=None, reg_out=None, z_base=None
+    e_out=None, e_pre_out=None, reg_out=None, z_base=None, xmats=None,
+    xmats_precision=None
 ):
     """Folded-layout variant of :func:`_gd_tile_compute` (same math; the
     docstrings there cover the structure). Tiles span the WHOLE folded-y
@@ -1204,9 +1205,23 @@ def _gd_tile_compute_fold(
         tz = t[..., oz_off + dz: oz_off + dz + DZ, :, :]
         return _shift_y_fold(tz, oy, oyf, DYf)
 
+    def matx(a, m):
+        """Contract the lane axis with a block-diagonal (2X, 2X) operator
+        on the MXU (see :func:`_x_matrices_fold`; leading dims merge for
+        free — no relayout). Precision: see ``xmats_precision`` in
+        :func:`fused_gd_multi_fold`."""
+        s3 = a.shape
+        return jnp.dot(
+            a.reshape(s3[0] * s3[1], s3[2]), m,
+            preferred_element_type=jnp.float32,
+            precision=xmats_precision,
+        ).reshape(s3)
+
     def grad_of(c):
         if c == 0:
             t_c = ext(st)
+            if xmats is not None:
+                return matx(t_c, xmats[1])  # mask folded into gx columns
             return (
                 (_shift_x_fold(t_c, 1, X) - _shift_x_fold(t_c, -1, X))
                 * 0.5 * mx
@@ -1221,13 +1236,17 @@ def _gd_tile_compute_fold(
     for c in range(3):
         p_c = sp[c]
         pce = ext(p_c)
-        sxp = _shift_x_fold(pce, 1, X)
-        sxm = _shift_x_fold(pce, -1, X)
         syp = ext(p_c, oy=1)
         sym = ext(p_c, oy=-1)
         szp = ext(p_c, dz=1)
         szm = ext(p_c, dz=-1)
-        lap_x = (sxp + sxm - 2.0 * pce) * mx
+        if xmats is not None:
+            lap_x = matx(pce, xmats[2])
+            sxp = sxm = None
+        else:
+            sxp = _shift_x_fold(pce, 1, X)
+            sxm = _shift_x_fold(pce, -1, X)
+            lap_x = (sxp + sxm - 2.0 * pce) * mx
         lap_y = (syp + sym - 2.0 * pce) * my
         lap_z = (szp + szm - 2.0 * pce) * mz
         neg_lap = -(lap_x + lap_y + lap_z)
@@ -1237,7 +1256,10 @@ def _gd_tile_compute_fold(
             # 1, vector_fields.cu:415-472): central diffs of psi_c minus
             # the identity's unit diagonal, vanishing on boundary slices
             # exactly like the masked diffs
-            jx = ((sxp - sxm) * 0.5 - (1.0 if c == 0 else 0.0)) * mx
+            if xmats is not None:
+                jx = matx(pce, xmats[1]) - (1.0 if c == 0 else 0.0) * mx
+            else:
+                jx = ((sxp - sxm) * 0.5 - (1.0 if c == 0 else 0.0)) * mx
             jy = ((syp - sym) * 0.5 - (1.0 if c == 1 else 0.0)) * my
             jz = ((szp - szm) * 0.5 - (1.0 if c == 2 else 0.0)) * mz
             j2 = (jx * jx + jy * jy + jz * jz)[R:R + BZ, Rf:Rf + TYf, :]
@@ -1246,11 +1268,14 @@ def _gd_tile_compute_fold(
         dU = diff * grad_of(c) + w_reg * neg_lap  # (DZ, DYf, XF)
 
         dU_ctr = dU[R:R + BZ, Rf:Rf + TYf, :]
-        acc = jnp.zeros((BZ, TYf, XF), jnp.float32)
-        for k in range(n_taps):
-            acc = acc + taps[n_taps - 1 - k] * _shift_x_fold(
-                dU_ctr, k - R, X
-            )
+        if xmats is not None:
+            acc = matx(dU_ctr, xmats[0])
+        else:
+            acc = jnp.zeros((BZ, TYf, XF), jnp.float32)
+            for k in range(n_taps):
+                acc = acc + taps[n_taps - 1 - k] * _shift_x_fold(
+                    dU_ctr, k - R, X
+                )
         dU_zc = dU[R:R + BZ]
         for k in range(n_taps):
             acc = acc + taps[n_taps - 1 - k] * _shift_y_fold(
@@ -1934,6 +1959,19 @@ def _x_matrices(taps_static, XP: int, XL: int) -> np.ndarray:
     return np.stack([bx, gx, lx])
 
 
+def _x_matrices_fold(taps_static, X: int) -> np.ndarray:
+    """Block-diagonal (3, 2X, 2X) lane-axis operators for the FOLDED
+    layout: each 64-lane segment is an independent x-row, so the fold
+    kernel's x-conv / x-diff / x-second-diff are the :func:`_x_matrices`
+    blocks repeated on both diagonal blocks (segment-local edge clamps
+    and boundary masks included)."""
+    m = _x_matrices(taps_static, X, X)
+    out = np.zeros((3, 2 * X, 2 * X), np.float32)
+    out[:, :X, :X] = m
+    out[:, X:, X:] = m
+    return out
+
+
 def _make_pp_kernel(BZ, TY, Z, Y, X, K, taps, n_taps, mu, nz, ny, XL,
                     stacked=False, use_xmats=False, with_energy=False):
     """Ping-pong kernel body: double-buffered input DMA (as _make_db_kernel)
@@ -2455,7 +2493,8 @@ def _pad_folded_val(v, Z, Yf, X, H, HF):
 
 
 def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
-                            with_energy, with_verbose=False):
+                            with_energy, with_verbose=False,
+                            use_xmats=False, xmats_precision=None):
     H, HF = _H, _HF
     has_vel = mu is not None
     XF = 2 * X
@@ -2464,6 +2503,7 @@ def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
     def kernel(*refs):
         refs = list(refs)
         scal_ref = refs.pop(0)
+        xm_ref = refs.pop(0) if use_xmats else None
         psi_in = refs.pop(0)
         tnp_in = refs.pop(0)
         tg_in = refs.pop(0)
@@ -2487,6 +2527,7 @@ def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
 
         alpha = scal_ref[0]
         w_reg = scal_ref[1]
+        xm = (xm_ref[0], xm_ref[1], xm_ref[2]) if use_xmats else None
 
         cin = [
             pltpu.make_async_copy(psi_in, s_psi, sems.at[0]),
@@ -2519,6 +2560,8 @@ def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
                     reg_out=(
                         reg_out.at[pl.ds(it, 1)] if with_verbose else None
                     ),
+                    xmats=xm,
+                    xmats_precision=xmats_precision,
                 )
                 # rebuild the padded state in VMEM for the next iteration
                 for c in range(3):
@@ -2576,6 +2619,8 @@ def fused_gd_multi_fold(
     interpret: bool = False,
     with_energy: bool = False,
     with_verbose: bool = False,
+    use_xmats: bool = False,
+    xmats_precision=None,
 ):
     """``n_inner`` fused GD iterations in ONE kernel launch, all state
     VMEM-resident (see module comment above). State arrays are PADDED
@@ -2607,11 +2652,13 @@ def fused_gd_multi_fold(
 
     kernel = _make_multi_fold_kernel(
         Z, Yf, X, K, taps_static, n_taps, mu, n_inner, with_energy,
-        with_verbose,
+        with_verbose, use_xmats=use_xmats, xmats_precision=xmats_precision,
     )
 
     n_in = 5 if has_vel else 4
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if use_xmats:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_in
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -2660,7 +2707,10 @@ def fused_gd_multi_fold(
     )
 
     scal = jnp.stack([alpha.astype(jnp.float32), w_reg.astype(jnp.float32)])
-    args = [scal, psi_pad, tnp_pad, tg_pad, live_pad]
+    args = [scal]
+    if use_xmats:
+        args.append(jnp.asarray(_x_matrices_fold(taps_static, X)))
+    args += [psi_pad, tnp_pad, tg_pad, live_pad]
     if has_vel:
         args.append(vel)
 

@@ -89,6 +89,7 @@ def fused_frame_step(
     skip_inv_warps=False,
     inv_multigrid=False,
     inner_steps=0,
+    inv_coarse=False,
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -126,6 +127,7 @@ def fused_frame_step(
             stall_window=stall_window, stall_rel=stall_rel,
             skip_inv_warps=skip_inv_warps,
             inv_multigrid=inv_multigrid,
+            inv_coarse=inv_coarse and skip_inv_warps,
         )
     elif n_chunks:
         res = solver_mod.estimate_psi_chunked(
@@ -279,6 +281,7 @@ class SobFusion:
                 skip_inv_warps=not self.need_inv_warps,
                 inv_multigrid=self.solver.inv_multigrid,
                 inner_steps=self.solver.inner_steps,
+                inv_coarse=self.solver.inv_coarse,
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi
@@ -327,6 +330,20 @@ class SobFusion:
         K = self.solver.warp_window
         tg, wg = self.phi_global.tsdf, self.phi_global.weight
         inv = self.psi_inv.data
+        if inv.shape[1:] != tg.shape:
+            # half-res inverse carry (Solver.inv_coarse): materialise the
+            # full-res inverse on demand — upsample the coarse fixed point
+            # and anchor with one full-res step against the current psi
+            # (the step estimate_inverse_multigrid's fine_iters=1 runs)
+            dims_c = inv.shape[1:]
+            ident_c = fields.identity_field(dims_c)
+            ident_f = fields.identity_field(tg.shape)
+            q0 = ident_f + solver_mod._resample_disp(
+                inv - ident_c, tg.shape, 2.0
+            )
+            inv = fields.estimate_inverse_window(
+                self.psi.data, iters=1, max_disp=K or 2, init=q0
+            )
         if K is not None:
             self.phi_global_psi_inv.tsdf = fields.sample_trilinear_window(
                 tg, inv, max_disp=K

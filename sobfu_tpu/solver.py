@@ -782,6 +782,7 @@ def estimate_inverse_multigrid(
     init: Optional[jnp.ndarray] = None,
     fine_iters: int = 1,
     interpret: bool = False,
+    return_coarse: bool = False,
 ) -> jnp.ndarray:
     """Coarse-to-fine warm inverse: the fixed point q <- id - disp(q) run
     at HALF resolution (displacement halved, window ceil(K/2) — 4-8x
@@ -803,12 +804,23 @@ def estimate_inverse_multigrid(
     Matches the reference's inverse SEMANTICS (vector_fields.cu:111-138
     fixed point) at the same stationary point; the iteration path differs
     (the reference runs 48 cold full-resolution steps each frame).
+
+    ``init`` may be FULL resolution (downsampled here) or already HALF
+    resolution (the coarse-carry production loop feeds the previous
+    frame's coarse inverse back verbatim — no per-frame down/up resample
+    round trip). ``return_coarse`` returns the half-resolution coarse
+    inverse q_c itself (half-res identity convention) instead of the
+    upsampled full-res field; only meaningful with ``fine_iters=0``
+    consumers that treat psi_inv as a warm start.
     """
     from sobfu_tpu.ops.pallas_kernels import (
         estimate_inverse_window_pallas_multi,
     )
 
     dims = psi.shape[1:]
+    if iters == 0 and fine_iters == 0 and init is not None:
+        # 0 iterations = warm-start passthrough (profiling / ablation)
+        return init
     assert all(d % 2 == 0 for d in dims), "multigrid inverse needs even dims"
     ident = fields.identity_field(dims)
     dims_c = tuple(d // 2 for d in dims)
@@ -817,11 +829,17 @@ def estimate_inverse_multigrid(
     disp_c = _resample_disp(psi - ident, dims_c, 0.5)
     init_c = None
     if init is not None:
-        init_c = ident_c + _resample_disp(init - ident, dims_c, 0.5)
+        if init.shape[1:] == dims_c:
+            init_c = init  # coarse carry: already half-res
+        else:
+            init_c = ident_c + _resample_disp(init - ident, dims_c, 0.5)
     q_c = estimate_inverse_window_pallas_multi(
         ident_c + disp_c, iters=iters, K=K_c, init=init_c,
         interpret=interpret,
     )
+    if return_coarse:
+        assert fine_iters == 0, "coarse carry is a warm-start-only product"
+        return q_c
     q0 = ident + _resample_disp(q_c - ident_c, dims, 2.0)
     if fine_iters == 0:
         # anchorless variant (production warm-start-only consumer): skip
@@ -863,6 +881,7 @@ def estimate_psi_pyramid(
     stall_rel: float = 1e-3,
     skip_inv_warps: bool = False,
     inv_multigrid: bool = False,
+    inv_coarse: bool = False,
 ) -> SolveResult:
     """Coarse-to-fine wrapper around :func:`estimate_psi` (host-level
     orchestration; each level's solve is the usual jitted program).
@@ -892,6 +911,9 @@ def estimate_psi_pyramid(
     semantics.
     """
     assert levels >= 1
+    assert not inv_coarse or fine_window is not None, (
+        "inv_coarse rides the compositive fine level's multigrid inverse"
+    )
     dims = tsdf_n.shape
     ident_f = fields.identity_field(dims)
 
@@ -985,6 +1007,7 @@ def estimate_psi_pyramid(
             stall_rel=stall_rel,
             skip_inv_warps=skip_inv_warps,
             inv_multigrid=inv_multigrid,
+            inv_coarse=inv_coarse,
         )
     else:
         res = estimate_psi(
@@ -1131,6 +1154,20 @@ class Solver:
         warm = getattr(params, "inverse_warm", None)
         self.inverse_warm = (
             self.warp_window is not None if warm is None else bool(warm)
+        )
+        # half-resolution inverse carry (opt-in, params key `inv_coarse`):
+        # on the no-log production loop psi_inv is a warm-start-only
+        # product, so it is produced AND consumed at half resolution —
+        # the per-frame down/up resample round trip of the multigrid
+        # inverse vanishes. Full-res consumers (log/viz meshes,
+        # get_phi_global_psi_inv_mesh) materialise on demand in the
+        # pipeline. Requires the multigrid production path.
+        invc = getattr(params, "inv_coarse", None)
+        self.inv_coarse = bool(
+            invc
+            and self.inv_multigrid
+            and self.fine_window is not None
+            and self.fused_pallas
         )
         inv_iters = getattr(params, "inverse_iters", None)
         if inv_iters is None:
@@ -1294,7 +1331,7 @@ class Solver:
         "energy_cap", "conv_mxu", "inv_window_iters", "inv_refine_iters",
         "momentum", "fused_db", "taps_static", "db_interpret", "x_pad_to",
         "total_window", "stall_window", "stall_rel", "skip_inv_warps",
-        "inv_multigrid", "inner_steps",
+        "inv_multigrid", "inner_steps", "inv_coarse",
     ),
 )
 def estimate_psi_compositive(
@@ -1329,6 +1366,7 @@ def estimate_psi_compositive(
     skip_inv_warps: bool = False,
     inv_multigrid: bool = False,
     inner_steps: int = 0,
+    inv_coarse: bool = False,
 ) -> SolveResult:
     """Compositive-update solve: UNBOUNDED total deformation at window speed.
 
@@ -1388,6 +1426,12 @@ def estimate_psi_compositive(
     assert not (total_window and n_chunks), (
         "total_window applies to the monolithic/fused increment loop only"
     )
+    if inv_coarse:
+        # coarse carry: psi_inv is produced AND consumed at half
+        # resolution (warm-start-only product of the no-log loop) — valid
+        # only on the multigrid-inverse production path
+        assert inv_multigrid and skip_inv_warps and fused_db
+        assert not db_interpret
     dims_zyx = tsdf_n.shape
     ident = fields.identity_field(dims_zyx)
 
@@ -1447,10 +1491,16 @@ def estimate_psi_compositive(
                 # drift is gated by fidelity --production. Log/viz runs
                 # (skip_inv_warps=False) keep the anchored 1.5e-3 inverse
                 # because phi_global o psi_inv is materialised from it.
+                # inv_coarse: the previous frame's HALF-RES inverse comes
+                # in as psi_inv0 verbatim and the half-res q_c goes out —
+                # the per-frame init-down/result-up resample round trip
+                # (2 MXU resamples of a 3-channel 256^3 field) vanishes,
+                # and the warm start skips one interpolation generation.
                 return estimate_inverse_multigrid(
                     psi_new, iters=inverse_iters, K=total_window,
                     init=psi_inv0,
                     fine_iters=0 if skip_inv_warps else 1,
+                    return_coarse=inv_coarse,
                 )
             return tw_inverse(psi_new, iters=inverse_iters, init=psi_inv0)
         if psi_inv0 is None:

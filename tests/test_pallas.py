@@ -338,6 +338,70 @@ def test_inverse_multigrid_matches_cold():
     assert err_s < 1.8e-2, err_s
 
 
+def test_inverse_multigrid_coarse_carry():
+    """Half-res inverse carry (solver inv_coarse): return_coarse hands out
+    the coarse fixed point q_c; upsampling it reproduces the anchorless
+    full-res output exactly, and feeding q_c back as a HALF-RES init is
+    accepted and lands on the same fixed point as the full-res-carry
+    path."""
+    from sobfu_tpu import solver
+
+    dims = (16, 16, 64)
+    dims_c = tuple(d // 2 for d in dims)
+    ident = fields.identity_field(dims)
+    ident_c = fields.identity_field(dims_c)
+    zz, yy, xx = [ident[i] for i in (2, 1, 0)]
+    disp = jnp.stack(
+        [
+            0.9 * jnp.sin(2 * jnp.pi * yy / dims[1]),
+            0.7 * jnp.cos(2 * jnp.pi * xx / dims[2]),
+            0.5 * jnp.sin(2 * jnp.pi * zz / dims[0]),
+        ]
+    )
+    psi = ident + disp
+
+    q_c = solver.estimate_inverse_multigrid(
+        psi, iters=3, K=2, init=None, fine_iters=0, return_coarse=True,
+        interpret=True,
+    )
+    assert q_c.shape == (3,) + dims_c
+    full = solver.estimate_inverse_multigrid(
+        psi, iters=3, K=2, init=None, fine_iters=0, interpret=True
+    )
+    up = ident + solver._resample_disp(q_c - ident_c, dims, 2.0)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(full), atol=1e-6)
+
+    # next frame: a nearby field; carry the COARSE q_c directly vs the
+    # full-res-carry path (down-resamples `full`). Both warm starts must
+    # land on the same fixed point; the carried start skips one
+    # interpolation generation, so agreement is bounded by resample error.
+    psi2 = ident + 0.9 * disp
+    q2_carry = solver.estimate_inverse_multigrid(
+        psi2, iters=3, K=2, init=q_c, fine_iters=0, return_coarse=True,
+        interpret=True,
+    )
+    q2_full = solver.estimate_inverse_multigrid(
+        psi2, iters=3, K=2, init=full, fine_iters=0, return_coarse=True,
+        interpret=True,
+    )
+    d = float(jnp.max(jnp.abs(q2_carry - q2_full)))
+    assert d < 5e-3, d
+
+    # functional criterion at full res: materialised carry inverse
+    # composes to ~identity as well as the full-res-carry one
+    def resid(q_coarse):
+        q0 = ident + solver._resample_disp(q_coarse - ident_c, dims, 2.0)
+        q = fields.estimate_inverse_window(
+            psi2, iters=1, max_disp=2, init=q0
+        )
+        comp = fields.sample_field_trilinear(psi2, q)
+        return float(jnp.max(jnp.abs(comp - ident)))
+
+    assert resid(q2_carry) <= resid(q2_full) + 1e-3, (
+        resid(q2_carry), resid(q2_full),
+    )
+
+
 def test_field3_warp_pallas_matches_xla():
     """C=3 shared-weight field sampler (one launch, the compositive
     composition kernel) == fields.sample_trilinear_window on a 3-channel
