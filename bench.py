@@ -42,7 +42,7 @@ REFERENCE_VOXEL_ITERS_PER_SEC = 2.0 * 2048 * 64**3  # ~1.07e9 (see docstring)
 def solve_time_per_iter(
     dim: int, warp_window: int, n_lo: int, n_hi: int, n_chunks: int = 0,
     conv_mxu: bool = False, fused: bool = False, x_pad: int = 0,
-    inner: int = 0,
+    inner: int = 0, fold_xmats: bool = False,
 ) -> float:
     """Median per-iteration seconds of the full solve via loop scaling."""
     import numpy as _np
@@ -71,7 +71,7 @@ def solve_time_per_iter(
             res = solver.estimate_psi(
                 *common, inverse_iters=4, warp_window=warp_window,
                 fused_db=True, taps_static=taps_static, x_pad_to=x_pad,
-                inner_steps=inner,
+                inner_steps=inner, fold_xmats=fold_xmats,
             )
         elif n_chunks:
             res = solver.estimate_psi_chunked(
@@ -107,7 +107,9 @@ def solve_time_per_iter(
     return float((t_hi_min - t_lo_min) / (n_hi - n_lo))
 
 
-def window1_exact_diff_vox(dim: int, iters: int = 512) -> float:
+def window1_exact_diff_vox(
+    dim: int, iters: int = 512, fold_xmats: bool = False
+) -> float:
     """max |psi_K1 - psi_K2| in voxels after ``iters`` plain-GD iterations
     on the headline scene. The windowed warp is EXACT whenever the
     displacement stays inside the window; this scene's bulk motion is
@@ -134,10 +136,12 @@ def window1_exact_diff_vox(dim: int, iters: int = 512) -> float:
     r1 = solver.estimate_psi(
         *common, inverse_iters=4, warp_window=1,
         fused_db=True, taps_static=ts, inner_steps=16,
+        fold_xmats=fold_xmats,
     )
     r2 = solver.estimate_psi(
         *common, inverse_iters=4, warp_window=2,
         fused_db=True, taps_static=ts, inner_steps=16,
+        fold_xmats=fold_xmats,
     )
     return float(jnp.max(jnp.abs(r1.psi - r2.psi)))
 
@@ -435,9 +439,13 @@ def main():
     w1_diff = None
     if on_tpu:
         try:
+            # fold_xmats: lane-axis conv/stencils on the MXU at
+            # HIGHEST precision (~7% measured; 3e-5 vox reassociation
+            # drift over 128 iters — the K1==K2 check below runs with it)
             per_iter_64_k2 = _with_retries(
                 lambda: solve_time_per_iter(
-                    dim_ref, K, n_lo, n_hi, fused=True, x_pad=128, inner=16
+                    dim_ref, K, n_lo, n_hi, fused=True, x_pad=128,
+                    inner=16, fold_xmats=True,
                 ),
                 attempts=2,
             )
@@ -446,12 +454,12 @@ def main():
             # voxel, so the K=1 window warp is EXACT for it — verified by
             # solving at both windows and comparing bit-for-bit. Only then
             # is the (VPU-lighter) K=1 row the headline.
-            w1_diff = window1_exact_diff_vox(dim_ref)
+            w1_diff = window1_exact_diff_vox(dim_ref, fold_xmats=True)
             if w1_diff < 1e-5:
                 per_iter_64 = _with_retries(
                     lambda: solve_time_per_iter(
                         dim_ref, 1, n_lo, n_hi, fused=True, x_pad=128,
-                        inner=16,
+                        inner=16, fold_xmats=True,
                     ),
                     attempts=2,
                 )

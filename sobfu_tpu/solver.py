@@ -218,6 +218,9 @@ def sobolev_smooth(
         "stall_rel",
         "skip_tails",
         "skip_inv_warps",
+        "inv_multigrid",
+        "inv_coarse",
+        "fold_xmats",
     ),
 )
 def estimate_psi(
@@ -252,8 +255,18 @@ def estimate_psi(
     stall_rel: float = 1e-3,
     skip_tails: bool = False,
     skip_inv_warps: bool = False,
+    inv_multigrid: bool = False,
+    inv_coarse: bool = False,
+    fold_xmats: bool = False,
 ) -> SolveResult:
     """Run the full warp-field solve for one frame; everything stays on device.
+
+    fold_xmats: on the Y-folded multi-iteration path, evaluate the
+    lane-axis Sobolev conv + x stencils as block-diagonal (128,128) MXU
+    matmuls at HIGHEST precision (:func:`..ops.pallas_kernels._x_matrices_fold`)
+    — measured ~7% faster at 64^3 under contention (the x roll+edge-fix
+    chain moves off the VPU), max 3e-5 voxel divergence from the FMA tap
+    loop over 128 iterations (pure f32 reassociation).
 
     Matches reference sobfu::device::estimate_psi (solver.cu:85-205), with the
     convergence check in the while_loop predicate instead of a host sync.
@@ -362,11 +375,25 @@ def estimate_psi(
         )
         # ALL fixed-point steps in one pipeline launch (weights shared
         # across the 3 channels): 30.5 -> 24.4 ms at 256^3 warm-3
-        inverse = functools.partial(
-            estimate_inverse_window_pallas_multi,
-            iters=inverse_iters,
-            K=warp_window,
-        )
+        if inv_multigrid and all(d % 2 == 0 for d in tsdf_n.shape):
+            # coarse-to-fine warm inverse — same contract as the
+            # compositive path (see estimate_psi_compositive); inv_coarse
+            # carries psi_inv at half resolution (warm-start-only
+            # product, requires skip_inv_warps)
+            assert not inv_coarse or skip_inv_warps
+            inverse = functools.partial(
+                estimate_inverse_multigrid,
+                iters=inverse_iters,
+                K=warp_window,
+                fine_iters=0 if skip_inv_warps else 1,
+                return_coarse=inv_coarse,
+            )
+        else:
+            inverse = functools.partial(
+                estimate_inverse_window_pallas_multi,
+                iters=inverse_iters,
+                K=warp_window,
+            )
     else:
         warp_scalar = functools.partial(
             fields.sample_trilinear_window, max_disp=warp_window
@@ -468,6 +495,10 @@ def estimate_psi(
                 interpret=db_interpret,
                 with_energy=stall_window > 0,
                 with_verbose=record_energy,
+                use_xmats=fold_xmats,
+                xmats_precision=(
+                    jax.lax.Precision.HIGHEST if fold_xmats else None
+                ),
             )
             psi_new, tsdf_new, vel_new, mx_vec, e_vec = outs[:5]
             if record_energy:
@@ -911,8 +942,8 @@ def estimate_psi_pyramid(
     semantics.
     """
     assert levels >= 1
-    assert not inv_coarse or fine_window is not None, (
-        "inv_coarse rides the compositive fine level's multigrid inverse"
+    assert not inv_coarse or inv_multigrid, (
+        "inv_coarse rides the multigrid inverse"
     )
     dims = tsdf_n.shape
     ident_f = fields.identity_field(dims)
@@ -1026,6 +1057,8 @@ def estimate_psi_pyramid(
             stall_window=stall_window,
             stall_rel=stall_rel,
             skip_inv_warps=skip_inv_warps,
+            inv_multigrid=inv_multigrid,
+            inv_coarse=inv_coarse,
         )
     return res._replace(iters=res.iters + total_coarse)
 
