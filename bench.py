@@ -188,28 +188,16 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
         common = (psi, tg, wg, live, wn, taps, jnp.float32(0.05),
                   jnp.float32(0.2), cap, thresh)
         if fused:
-            # production mode: coarse-to-fine (3 levels at >= 256^3, where
-            # two coarse levels are nearly free) + momentum 0.95 + fused
-            # kernel with a COMPOSITIVE K=1 fine level (fine_window: the
-            # coarse levels absorb the bulk motion, so the sub-voxel fine
-            # increment is exact at K=1 and the kernel body shrinks ~1.4x)
-            # + warm-started 4-iteration inverse (matches cold-48 to 1e-4
-            # voxel; at 256^3 the 12-step tail was 54% of the frame) + the
-            # data-energy stall stop as a safety net (in-kernel energy
-            # partials — free)
-            # skip_inv_warps: the no-log production loop never consumes
-            # phi_global o psi_inv (a viz product recomputed on demand);
-            # inverse_iters=3 matches cold-48 to 7e-4 voxel warm-started
-            # inv_multigrid: coarse-to-fine warm inverse (24.5 -> 14 ms
-            # at 256^3; max 1.5e-3 vox off cold-48, composition residual
-            # identical — tools/check_inverse_multigrid.py)
+            # THE production mode — the exact per-frame configuration the
+            # CLI no-log loop runs and tools/fidelity.py --production
+            # certifies; see solver.production_pyramid_kwargs (single
+            # source of truth) for the round-4 component rationale
+            # (additive fine level, half-res warm multigrid inverse
+            # carry, MXU fold x-operators, stall net).
             return solver.estimate_psi_pyramid(
-                *common, psi_inv0, levels=3 if dim >= 256 else 2,
-                warp_window=2, momentum=0.95, fine_window=1,
-                stall_window=16, stall_rel=1e-2,
-                fused_db=True, taps_static=taps_static, conv_mxu=conv_mxu,
-                inverse_iters=3, skip_inv_warps=True,
-                inv_multigrid=dim >= 128,
+                *common, psi_inv0,
+                taps_static=taps_static,
+                **solver.production_pyramid_kwargs(dim),
             )
         if chunks:
             return solver.estimate_psi_chunked(
@@ -343,7 +331,11 @@ def pipeline_fps(dim: int, n_frames: int = 6) -> dict:
     p.fused_pallas = jax.devices()[0].platform != "cpu"
     p.momentum = 0.95
     p.pyramid_levels = 3 if dim >= 256 else 2
-    p.fine_window = 1
+    # round 4: ADDITIVE fine level + half-res inverse carry + MXU fold
+    # x-ops (solver.production_pyramid_kwargs rationale); Solver derives
+    # inv_multigrid / fold_xmats automatically from these keys
+    p.fine_window = None
+    p.inv_coarse = True
     p.stall_window = 16
     p.stall_rel = 1e-2
     p.inverse_iters = 3

@@ -49,6 +49,8 @@ from sobfu_tpu.tsdf import TsdfVolume
         "skip_inv_warps",
         "inv_multigrid",
         "inner_steps",
+        "inv_coarse",
+        "fold_xmats",
     ),
 )
 def fused_frame_step(
@@ -90,6 +92,7 @@ def fused_frame_step(
     inv_multigrid=False,
     inner_steps=0,
     inv_coarse=False,
+    fold_xmats=False,
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -128,6 +131,7 @@ def fused_frame_step(
             skip_inv_warps=skip_inv_warps,
             inv_multigrid=inv_multigrid,
             inv_coarse=inv_coarse and skip_inv_warps,
+            fold_xmats=fold_xmats,
         )
     elif n_chunks:
         res = solver_mod.estimate_psi_chunked(
@@ -146,6 +150,7 @@ def fused_frame_step(
             stall_window=stall_window, stall_rel=stall_rel,
             skip_inv_warps=skip_inv_warps,
             inner_steps=inner_steps,
+            fold_xmats=fold_xmats,
         )
 
     tg2, wg2 = fuse_volumes(
@@ -282,6 +287,7 @@ class SobFusion:
                 inv_multigrid=self.solver.inv_multigrid,
                 inner_steps=self.solver.inner_steps,
                 inv_coarse=self.solver.inv_coarse,
+                fold_xmats=self.solver.fold_xmats,
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi

@@ -913,6 +913,7 @@ def estimate_psi_pyramid(
     skip_inv_warps: bool = False,
     inv_multigrid: bool = False,
     inv_coarse: bool = False,
+    fold_xmats: bool = False,
 ) -> SolveResult:
     """Coarse-to-fine wrapper around :func:`estimate_psi` (host-level
     orchestration; each level's solve is the usual jitted program).
@@ -1007,6 +1008,7 @@ def estimate_psi_pyramid(
             db_interpret=db_interpret,
             x_pad_to=max(0, xpt_c) if fused_c else 0,
             inner_steps=inner_c,
+            fold_xmats=fold_xmats,
             # NO stall detector at coarse levels: their data energy
             # plateaus early (coarse grids can't resolve the residual),
             # so the stall fires prematurely and shifts iterations to
@@ -1039,6 +1041,7 @@ def estimate_psi_pyramid(
             skip_inv_warps=skip_inv_warps,
             inv_multigrid=inv_multigrid,
             inv_coarse=inv_coarse,
+            fold_xmats=fold_xmats,
         )
     else:
         res = estimate_psi(
@@ -1059,8 +1062,52 @@ def estimate_psi_pyramid(
             skip_inv_warps=skip_inv_warps,
             inv_multigrid=inv_multigrid,
             inv_coarse=inv_coarse,
+            fold_xmats=fold_xmats,
         )
     return res._replace(iters=res.iters + total_coarse)
+
+
+def production_pyramid_kwargs(dim: int, *, warm: bool = True,
+                              no_log: bool = True) -> dict:
+    """The shipped production configuration for :func:`estimate_psi_pyramid`
+    on a cubic grid of extent ``dim`` — the single source of truth shared
+    by bench.py (fps_at_convergence), tools/fidelity.py --production and
+    the profiling tools, so the quality gates always certify exactly the
+    configuration the bench records.
+
+    warm: per-frame steady state (previous-frame inverse warm start, 3
+    fixed-point steps); False = cold single-solve (48 steps, what the
+    fidelity single-frame scenarios run — no previous frame exists).
+    no_log: the CLI no-log loop — psi_inv is a warm-start-only product
+    (skip_inv_warps; half-res inverse carry when warm).
+
+    Caller adds: taps_static (from the filter), record_energy/energy_cap,
+    db_interpret for CPU tests.
+
+    Round-4 fine-level choice (tools/profile_fine_variants.py, 256^3):
+    with the coarse pyramid absorbing the bulk motion the fine level
+    converges in ~1 iteration, where the compositive machinery's fixed
+    T0-warp + compose_weight overhead (~7 ms) exceeds what its K=1
+    in-loop warp saves — the ADDITIVE fine level (exact reference update
+    rule, warp window 2) measured 44.5 -> 38.2 ms/frame steady at the
+    identical iteration count and final energy.
+    """
+    multigrid = dim % 2 == 0 and dim >= 64
+    return dict(
+        levels=3 if dim >= 256 else 2,
+        warp_window=2,
+        momentum=0.95,
+        fine_window=None,
+        stall_window=16,
+        stall_rel=1e-2,
+        fused_db=True,
+        conv_mxu=True,
+        inverse_iters=3 if warm else 48,
+        skip_inv_warps=no_log,
+        inv_multigrid=multigrid,
+        inv_coarse=bool(warm and no_log and multigrid),
+        fold_xmats=True,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1157,12 +1204,17 @@ class Solver:
         self.fine_window = getattr(params, "fine_window", None)
         self.stall_window = int(getattr(params, "stall_window", 0) or 0)
         self.stall_rel = float(getattr(params, "stall_rel", 1e-3))
-        # coarse-to-fine warm inverse: auto-on for the fused compositive
-        # production config (the exact configuration the fidelity
-        # --production gates certify); params key `inv_multigrid` overrides
+        # coarse-to-fine warm inverse: auto-on for the fused PRODUCTION
+        # configs (a pyramid or a compositive fine level — the exact
+        # configurations the fidelity --production gates certify); a plain
+        # single-level additive solve keeps the exact full-res fixed point
+        # unless opted in. params key `inv_multigrid` overrides.
         img = getattr(params, "inv_multigrid", None)
         self.inv_multigrid = (
-            bool(self.fused_pallas and self.fine_window is not None)
+            bool(
+                self.fused_pallas
+                and (self.fine_window is not None or self.pyramid_levels > 1)
+            )
             if img is None
             else bool(img)
         )
@@ -1197,10 +1249,16 @@ class Solver:
         # pipeline. Requires the multigrid production path.
         invc = getattr(params, "inv_coarse", None)
         self.inv_coarse = bool(
-            invc
-            and self.inv_multigrid
-            and self.fine_window is not None
-            and self.fused_pallas
+            invc and self.inv_multigrid and self.fused_pallas
+        )
+        # MXU lane-axis operators on the Y-folded kernel path (HIGHEST
+        # precision — 3e-5 vox reassociation drift over 128 iters, ~7%
+        # faster fold iterations): auto-on with the fused kernel; only
+        # fold-dispatching grids (X=64, incl. pyramid coarse levels) are
+        # affected. FOLD_XMATS=0 keeps the VPU tap loop.
+        fxm = getattr(params, "fold_xmats", None)
+        self.fold_xmats = (
+            bool(self.fused_pallas) if fxm is None else bool(fxm)
         )
         inv_iters = getattr(params, "inverse_iters", None)
         if inv_iters is None:
@@ -1364,7 +1422,7 @@ class Solver:
         "energy_cap", "conv_mxu", "inv_window_iters", "inv_refine_iters",
         "momentum", "fused_db", "taps_static", "db_interpret", "x_pad_to",
         "total_window", "stall_window", "stall_rel", "skip_inv_warps",
-        "inv_multigrid", "inner_steps", "inv_coarse",
+        "inv_multigrid", "inner_steps", "inv_coarse", "fold_xmats",
     ),
 )
 def estimate_psi_compositive(
@@ -1400,6 +1458,7 @@ def estimate_psi_compositive(
     inv_multigrid: bool = False,
     inner_steps: int = 0,
     inv_coarse: bool = False,
+    fold_xmats: bool = False,
 ) -> SolveResult:
     """Compositive-update solve: UNBOUNDED total deformation at window speed.
 
@@ -1666,6 +1725,10 @@ def estimate_psi_compositive(
                 interpret=db_interpret,
                 with_energy=stall_window > 0,
                 with_verbose=record_energy,
+                use_xmats=fold_xmats,
+                xmats_precision=(
+                    jax.lax.Precision.HIGHEST if fold_xmats else None
+                ),
             )
             delta_new, tnp_new, vel_new, mx_vec, e_vec = outs[:5]
             if record_energy:

@@ -75,16 +75,25 @@ def solve(p, phi_global, phi_n, warp_window=None, momentum=0.9):
     )
     if PRODUCTION:
         dim = phi_global.dims_zyx[0]
+        # the EXACT bench/CLI production configuration (single source of
+        # truth: solver.production_pyramid_kwargs) — cold single solve
+        # (no previous frame: 48-step inverse, full-res psi_inv so the
+        # harness can consume the inverse warps), fused only when the
+        # Mosaic toolchain is up
+        kw = solver.production_pyramid_kwargs(dim, warm=False, no_log=False)
+        kw["levels"] = min(kw["levels"], 2)  # fidelity grids are <= 128^3
+        if warp_window is not None:
+            kw["warp_window"] = warp_window
+        if not fused:
+            kw.update(fused_db=False, fold_xmats=False, inv_multigrid=False,
+                      inv_coarse=False)
+        else:
+            kw["inv_multigrid"] = kw["inv_multigrid"] and dim >= 64
         return solver.estimate_psi_pyramid(
             psi, phi_global.tsdf, phi_global.weight, phi_n.tsdf,
             phi_n.weight, taps, jnp.float32(p.alpha), jnp.float32(p.w_reg),
             jnp.int32(p.max_iter), jnp.float32(4e-3 * dim / 128.0),
-            levels=2, warp_window=warp_window or 2, fine_window=1,
-            momentum=0.95, stall_window=16, stall_rel=1e-2,
-            inverse_iters=48, fused_db=fused, taps_static=taps_static,
-            # cold multigrid: 48 coarse steps (8x cheaper each) + 1 fine
-            # anchor; gated by this harness's drift/RMSE budgets
-            inv_multigrid=fused and dim % 2 == 0 and dim >= 64,
+            taps_static=taps_static, **kw,
         )
     return solver.estimate_psi(
         psi, phi_global.tsdf, phi_global.weight, phi_n.tsdf, phi_n.weight,
@@ -335,14 +344,18 @@ def scenario_multiframe_accumulation(dim, iters, warp_window, n_frames=10):
     p.momentum = 0.9
     p.warp_window = warp_window or 4
     if PRODUCTION:
-        # the full round-3 production pipeline, incl. the warm 4-step
-        # inverse (auto with warp_window) across the frame sequence
+        # the full production pipeline across the frame sequence — the
+        # same per-frame configuration Solver derives from these keys as
+        # solver.production_pyramid_kwargs describes (round 4: ADDITIVE
+        # fine level, warm multigrid inverse; the drift gate certifies
+        # the warm inverse carry across frames)
         p.momentum = 0.95
         p.pyramid_levels = 2
-        p.fine_window = 1
+        p.fine_window = None
         p.stall_window = 16
         p.stall_rel = 1e-2
         p.max_update_norm = 4e-3 * dim / 128.0
+        p.inverse_iters = 3
     p.intr = type(p.intr)(fx=70.0 * dim / 64, fy=70.0 * dim / 64,
                           cx=47.5, cy=35.5)
     p.bilateral_kernel_size = 5

@@ -63,7 +63,7 @@ def main():
     levels = 3 if dim >= 256 else 2
     ident = fields.identity_field(dims)
 
-    def make(fine_window, inv_coarse):
+    def make(fine_window, inv_coarse, fold_xmats=False):
         def _run(live, psi_inv0):
             psi = fields.identity_field(dims)
             return solver.estimate_psi_pyramid(
@@ -76,6 +76,7 @@ def main():
                 inverse_iters=3, skip_inv_warps=True,
                 inv_multigrid=dim >= 128,
                 inv_coarse=inv_coarse and dim >= 128,
+                fold_xmats=fold_xmats,
             )
         return jax.jit(_run)
 
@@ -88,6 +89,7 @@ def main():
         ("P2 compositive fine + inv_coarse", make(1, True)),
         ("P3 additive fine + inv_coarse", make(None, True)),
         ("P4 additive fine", make(None, False)),
+        ("P5 P3 + fold_xmats coarse", make(None, True, fold_xmats=True)),
     ]
     for name, run in variants:
         inv_warm = run(prev_tn, ident).psi_inv
