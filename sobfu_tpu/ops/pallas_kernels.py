@@ -1412,7 +1412,8 @@ def _gd_tile_compute_fold(
 
 
 def _make_fold_kernel(BZ, TYf, Z, Y, X, K, taps, n_taps, mu, n_tiles,
-                      with_energy=False, with_zbase=False):
+                      with_energy=False, with_zbase=False,
+                      use_xmats=False, xmats_precision=None):
     """Double-buffered manual-DMA kernel over z-tiles of the folded
     layout (whole folded-y rows per tile); structure mirrors
     :func:`_make_db_kernel`. with_zbase: a trailing int32 SMEM operand
@@ -1426,6 +1427,7 @@ def _make_fold_kernel(BZ, TYf, Z, Y, X, K, taps, n_taps, mu, n_tiles,
         refs = list(refs)
         scal_ref = refs.pop(0)
         zb_ref = refs.pop(0) if with_zbase else None
+        xm_ref = refs.pop(0) if use_xmats else None
         if has_vel:
             (psi_ref, tnp_ref, tg_ref, live_ref, vel_ref,
              psi_out, tnp_out, vel_out, mx_out, *rest) = refs
@@ -1495,6 +1497,10 @@ def _make_fold_kernel(BZ, TYf, Z, Y, X, K, taps, n_taps, mu, n_tiles,
             BZ=BZ, TYf=TYf, Z=Z, Y=Y, X=X, K=K, taps=taps, n_taps=n_taps,
             mu=mu, e_out=e_out,
             z_base=zb_ref[0] if with_zbase else None,
+            xmats=(
+                (xm_ref[0], xm_ref[1], xm_ref[2]) if use_xmats else None
+            ),
+            xmats_precision=xmats_precision,
         )
 
     return kernel
@@ -1515,6 +1521,8 @@ def fused_gd_iteration_fold(
     momentum=None,
     interpret: bool = False,
     with_energy: bool = False,
+    use_xmats: bool = False,
+    xmats_precision=None,
 ):
     """One fused solver iteration in the Y-FOLDED layout: returns
     (psi_f', tnp_f', vel', max||update||^2, e_data) on UNPADDED folded
@@ -1525,6 +1533,7 @@ def fused_gd_iteration_fold(
         pad_folded(psi_f), pad_folded(tnp_f), vel, tg_pad, live_pad,
         alpha, w_reg, taps_static, K=K, BZ=BZ, momentum=momentum,
         interpret=interpret, with_energy=with_energy,
+        use_xmats=use_xmats, xmats_precision=xmats_precision,
     )
 
 
@@ -1545,6 +1554,8 @@ def fused_gd_iteration_fold_padded(
     with_energy: bool = False,
     z_base=None,
     z_global: int = 0,
+    use_xmats: bool = False,
+    xmats_precision=None,
 ):
     """Fold-kernel iteration on CALLER-padded arrays. Single-chip callers
     build the pads with :func:`pad_folded` (edge-replicated halos); a
@@ -1573,6 +1584,7 @@ def fused_gd_iteration_fold_padded(
     kernel = _make_fold_kernel(
         BZ, Yf, z_global if with_zbase else Z, Y, X, K, taps_static,
         n_taps, mu, nz, with_energy=with_energy, with_zbase=with_zbase,
+        use_xmats=use_xmats, xmats_precision=xmats_precision,
     )
     BH = BZ + 2 * _H
     TH = Yf + 2 * _HF
@@ -1580,6 +1592,8 @@ def fused_gd_iteration_fold_padded(
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if with_zbase:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    if use_xmats:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
         5 if mu is not None else 4
     )
@@ -1640,6 +1654,8 @@ def fused_gd_iteration_fold_padded(
     args = [scal]
     if with_zbase:
         args.append(jnp.asarray([z_base], jnp.int32))
+    if use_xmats:
+        args.append(jnp.asarray(_x_matrices_fold(taps_static, X)))
     args += [psi_pad, tnp_pad, tg_pad, live_pad]
     if mu is not None:
         args.append(vel)

@@ -531,6 +531,10 @@ def estimate_psi(
                     momentum=momentum,
                     interpret=db_interpret,
                     with_energy=stall_window > 0,
+                    use_xmats=fold_xmats,
+                    xmats_precision=(
+                        jax.lax.Precision.HIGHEST if fold_xmats else None
+                    ),
                 )
             )
             if momentum is None:
@@ -1758,6 +1762,10 @@ def estimate_psi_compositive(
                 momentum=momentum,
                 interpret=db_interpret,
                 with_energy=stall_window > 0,
+                use_xmats=fold_xmats,
+                xmats_precision=(
+                    jax.lax.Precision.HIGHEST if fold_xmats else None
+                ),
             )
             delta_new, tnp_new = psi_f, tnp_f
             if momentum is None:
