@@ -1151,7 +1151,7 @@ def _gd_tile_compute_fold(
     sp_ref, st_ref, sg_ref, live_slice, vel_at, psi_out, tnp_out, vel_out,
     mx_out, iz, alpha, w_reg, *, BZ, TYf, Z, Y, X, K, taps, n_taps, mu,
     e_out=None, e_pre_out=None, reg_out=None, z_base=None, xmats=None,
-    xmats_precision=None
+    xmats_precision=None, live_x=None
 ):
     """Folded-layout variant of :func:`_gd_tile_compute` (same math; the
     docstrings there cover the structure). Tiles span the WHOLE folded-y
@@ -1362,8 +1362,17 @@ def _gd_tile_compute_fold(
 
         def warp_body(i, acc):
             oz = i - K
-            lz = live_slice(oz)
-            lxz = [_shift_x_fold(lz, ox, X) for ox in range(-K, K + 1)]
+            if live_x is not None:
+                # loop-invariant x-shifts prestacked by the caller (the
+                # VMEM-resident multi-iteration kernel computes them once
+                # per launch instead of (2K+1)^2 roll+edge-fix passes per
+                # iteration)
+                lxz = [live_x(oz, j) for j in range(2 * K + 1)]
+            else:
+                lz = live_slice(oz)
+                lxz = [
+                    _shift_x_fold(lz, ox, X) for ox in range(-K, K + 1)
+                ]
             rows0 = [t[:, HF:HF + TYf, :] for t in lxz]
             a = jnp.zeros(shape_o, jnp.float32)
             b = jnp.zeros(shape_o, jnp.float32)
@@ -1387,8 +1396,13 @@ def _gd_tile_compute_fold(
     else:
         def warp_body(i, acc):
             oz = i - K
-            lz = live_slice(oz)  # (BZ, TYf + 2*_HF, XF)
-            lxz = [_shift_x_fold(lz, ox, X) for ox in range(-K, K + 1)]
+            if live_x is not None:
+                lxz = [live_x(oz, j) for j in range(2 * K + 1)]
+            else:
+                lz = live_slice(oz)  # (BZ, TYf + 2*_HF, XF)
+                lxz = [
+                    _shift_x_fold(lz, ox, X) for ox in range(-K, K + 1)
+                ]
             acc_y = jnp.zeros(shape_o, jnp.float32)
             for d in ds:
                 rows = [t[:, HF + d:HF + d + TYf, :] for t in lxz]
@@ -2510,7 +2524,8 @@ def _pad_folded_val(v, Z, Yf, X, H, HF):
 
 def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
                             with_energy, with_verbose=False,
-                            use_xmats=False, xmats_precision=None):
+                            use_xmats=False, xmats_precision=None,
+                            prestack_live=False):
     H, HF = _H, _HF
     has_vel = mu is not None
     XF = 2 * X
@@ -2539,6 +2554,10 @@ def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
         s_vel = refs.pop(0) if has_vel else None
         s_np = refs.pop(0)
         s_nt = refs.pop(0)
+        s_lx = (
+            [refs.pop(0) for _ in range(2 * K + 1)] if prestack_live
+            else None
+        )
         sems = refs.pop(0)
 
         alpha = scal_ref[0]
@@ -2557,6 +2576,15 @@ def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
             c.start()
         for c in cin:
             c.wait()
+
+        if prestack_live:
+            # the warp's x-shifts of the live volume are loop-invariant:
+            # compute them ONCE per launch (vs (2K+1)^2 roll+edge-fix
+            # passes per iteration), bit-identical — shifting the whole
+            # padded tile commutes with the per-oz z slicing
+            lv = s_live[...]
+            for j, ox in enumerate(range(-K, K + 1)):
+                s_lx[j][...] = _shift_x_fold(lv, ox, X)
 
         def make_iter(with_mx):
             def one_iter(it, carry):
@@ -2578,6 +2606,11 @@ def _make_multi_fold_kernel(Z, Yf, X, K, taps, n_taps, mu, n_inner,
                     ),
                     xmats=xm,
                     xmats_precision=xmats_precision,
+                    live_x=(
+                        (lambda oz, j: s_lx[j][pl.ds(H + oz, Z), :, :])
+                        if prestack_live
+                        else None
+                    ),
                 )
                 # rebuild the padded state in VMEM for the next iteration
                 for c in range(3):
@@ -2637,6 +2670,7 @@ def fused_gd_multi_fold(
     with_verbose: bool = False,
     use_xmats: bool = False,
     xmats_precision=None,
+    prestack_live: bool = True,
 ):
     """``n_inner`` fused GD iterations in ONE kernel launch, all state
     VMEM-resident (see module comment above). State arrays are PADDED
@@ -2669,6 +2703,7 @@ def fused_gd_multi_fold(
     kernel = _make_multi_fold_kernel(
         Z, Yf, X, K, taps_static, n_taps, mu, n_inner, with_energy,
         with_verbose, use_xmats=use_xmats, xmats_precision=xmats_precision,
+        prestack_live=prestack_live,
     )
 
     n_in = 5 if has_vel else 4
@@ -2712,8 +2747,14 @@ def fused_gd_multi_fold(
     scratch += [
         pltpu.VMEM((3, Z, Yf, XF), jnp.float32),  # s_np
         pltpu.VMEM((Z, Yf, XF), jnp.float32),  # s_nt
-        pltpu.SemaphoreType.DMA((n_in,)),
     ]
+    if prestack_live:
+        # loop-invariant x-shifted live copies (see the kernel comment);
+        # (2K+1) x ~1.4 MB at 64^3 — well inside the 100 MB VMEM budget
+        scratch += [
+            pltpu.VMEM((ZP, YP, XF), jnp.float32) for _ in range(2 * K + 1)
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((n_in,)))
 
     cparams = (
         {"compiler_params": pltpu.CompilerParams(

@@ -249,6 +249,7 @@ def _gd_step_local_fused(
 def _gd_step_local_fused_fold(
     psi_lf, tnp_lf, tg_pad, live_pad, taps_static, alpha, w_reg, z0,
     axis_name, K, z_global, interpret, vel_l=None, momentum=None,
+    fold_xmats=False,
 ):
     """One Y-FOLDED fused-kernel step on a local z-block (X=64 grids).
 
@@ -271,6 +272,10 @@ def _gd_step_local_fused_fold(
         tg_pad, live_pad, alpha, w_reg, taps_static,
         K=K, momentum=momentum, interpret=interpret,
         z_base=z0, z_global=z_global,
+        use_xmats=fold_xmats,
+        xmats_precision=(
+            jax.lax.Precision.HIGHEST if fold_xmats else None
+        ),
     )
     if momentum is None:
         vel_new = vel_l
@@ -289,7 +294,7 @@ def _downsample2_local(vol: jnp.ndarray) -> jnp.ndarray:
 def _gd_loop_local(
     psi_l, tg_l, live_l, live_src, taps, alpha, w_reg, max_iter, thresh,
     z0, axis, K, *, fused=False, taps_static=None, momentum=None,
-    interpret=False, stall_window=0, stall_rel=1e-3,
+    interpret=False, stall_window=0, stall_rel=1e-3, fold_xmats=False,
 ):
     """The windowed/exact GD while_loop on local z-blocks (inside shard_map).
 
@@ -363,6 +368,7 @@ def _gd_loop_local(
             psi_l, tnp_l, vel_l, mnorm = _gd_step_local_fused_fold(
                 psi_l, tnp_l, tg_pad_f, live_pad_f, taps_static, alpha,
                 w_reg, z0, axis, K, z_global, interpret, vel_l, momentum,
+                fold_xmats=fold_xmats,
             )
         elif fused:
             psi_l, tnp_l, vel_l, mnorm = _gd_step_local_fused(
@@ -464,7 +470,8 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
                               coarse_max_iter=None,
                               fine_window=None,
                               stall_window: int = 0,
-                              stall_rel: float = 1e-3):
+                              stall_rel: float = 1e-3,
+                              fold_xmats: bool = False):
     """Build a jit-compiled sharded solve for the given mesh.
 
     Returns fn(psi, tsdf_global, weight_global, tsdf_n, weight_n, taps,
@@ -540,6 +547,7 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
                 thresh, z0, axis, fine_window, fused=fused,
                 taps_static=taps_static, momentum=momentum, interpret=interp,
                 stall_window=stall_window, stall_rel=stall_rel,
+                fold_xmats=fold_xmats,
             )
             # compose: psi_new = psi0 o g, |g - id| <= fine_window. Sample
             # the ABSOLUTE psi0 field (exactly the single-chip composition,
@@ -553,6 +561,7 @@ def make_sharded_estimate_psi(mesh: Mesh, inverse_iters: int = 48,
                 thresh, z0, axis, K, fused=fused, taps_static=taps_static,
                 momentum=momentum, interpret=interp,
                 stall_window=stall_window, stall_rel=stall_rel,
+                fold_xmats=fold_xmats,
             )
         iters = iters + total_coarse
 
@@ -645,7 +654,8 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
                     fused: bool = False, taps_static=None, momentum=None,
                     warm_inverse: bool = False, pyramid_levels: int = 1,
                     coarse_max_iter=None, fine_window=None,
-                    stall_window: int = 0, stall_rel: float = 1e-3):
+                    stall_window: int = 0, stall_rel: float = 1e-3,
+                    fold_xmats: bool = False):
     """One full frame step (integrate -> solve -> fuse) over a
     ('scene', 'z') mesh: scenes are data-parallel, the grid is z-sharded.
 
@@ -725,6 +735,7 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
                 thresh, z0, axis, fine_window, fused=fused,
                 taps_static=taps_static, momentum=momentum, interpret=interp,
                 stall_window=stall_window, stall_rel=stall_rel,
+                fold_xmats=fold_xmats,
             )
             psi0_e = _halo_exchange_z(psi_l, fine_window, axis)
             psi_l = _sample_window_local(psi0_e, g_l, z0, fine_window)
@@ -734,6 +745,7 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
                 thresh, z0, axis, K, fused=fused, taps_static=taps_static,
                 momentum=momentum, interpret=interp,
                 stall_window=stall_window, stall_rel=stall_rel,
+                fold_xmats=fold_xmats,
             )
         iters = iters + total_coarse
 

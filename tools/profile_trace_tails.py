@@ -39,18 +39,20 @@ def main():
     thresh = jnp.float32(4e-3 * dim / 128.0)
     ident = fields.identity_field(dims)
 
+    kw = solver.production_pyramid_kwargs(dim)
+    kw["levels"] = levels
+    kw["inverse_iters"] = inv_iters
+    if inv_iters == 0:
+        kw["inv_coarse"] = False
+
     @jax.jit
     def run(live, psi_inv0):
         psi = fields.identity_field(dims)
         return solver.estimate_psi_pyramid(
             psi, tg, wg, live, wn, taps, jnp.float32(0.05),
             jnp.float32(0.2), jnp.int32(0), thresh,
-            psi_inv0, levels=levels, coarse_max_iter=0,
-            warp_window=2, momentum=0.95, fine_window=1,
-            stall_window=16, stall_rel=1e-2,
-            fused_db=True, taps_static=taps_static, conv_mxu=True,
-            inverse_iters=inv_iters, skip_inv_warps=True,
-            inv_multigrid=dim >= 128,
+            psi_inv0, coarse_max_iter=0,
+            taps_static=taps_static, **kw,
         )
 
     prev_tn, _ = init_sphere(
