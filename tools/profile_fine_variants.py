@@ -14,7 +14,7 @@ Variants:
 Also prints iters and final data energy (the quality guard: all variants
 must land at the same energy plateau).
 
-Usage: python tools/profile_fine_variants.py [dim]
+Usage: python tools/profile_fine_variants.py [dim] [P5,P6]
 """
 
 import os
@@ -63,13 +63,13 @@ def main():
     levels = 3 if dim >= 256 else 2
     ident = fields.identity_field(dims)
 
-    def make(fine_window, inv_coarse, fold_xmats=False):
+    def make(fine_window, inv_coarse, fold_xmats=False, lv=None):
         def _run(live, psi_inv0):
             psi = fields.identity_field(dims)
             return solver.estimate_psi_pyramid(
                 psi, tg, wg, live, wn, taps, jnp.float32(0.05),
                 jnp.float32(0.2), jnp.int32(1024), thresh,
-                psi_inv0, levels=levels,
+                psi_inv0, levels=lv or levels,
                 warp_window=2, momentum=0.95, fine_window=fine_window,
                 stall_window=16, stall_rel=1e-2,
                 fused_db=True, taps_static=taps_static, conv_mxu=True,
@@ -90,7 +90,12 @@ def main():
         ("P3 additive fine + inv_coarse", make(None, True)),
         ("P4 additive fine", make(None, False)),
         ("P5 P3 + fold_xmats coarse", make(None, True, fold_xmats=True)),
+        ("P6 P5 + one more pyramid level",
+         make(None, True, fold_xmats=True, lv=(4 if dim >= 256 else 3))),
     ]
+    if len(sys.argv) > 2:
+        keep = set(sys.argv[2].split(","))
+        variants = [(n, r) for n, r in variants if n.split()[0] in keep]
     for name, run in variants:
         inv_warm = run(prev_tn, ident).psi_inv
         jax.block_until_ready(inv_warm)

@@ -60,20 +60,25 @@ def main():
     levels = 3 if dim >= 256 else 2
     ident = fields.identity_field(dims)
 
-    def make(coarse_max_iter=None, max_iter=1024, inverse_iters=3,
+    def make(coarse_max_iter=None, max_iter=1024, inverse_iters=None,
              lv=levels):
+        kw = solver.production_pyramid_kwargs(dim)
+        kw["levels"] = lv
+        if inverse_iters is not None:
+            kw["inverse_iters"] = inverse_iters
+            if inverse_iters == 0:
+                kw["inv_multigrid"] = False
+                kw["inv_coarse"] = False
+
         def _run(live, psi_inv0):
             psi = fields.identity_field(dims)
             return solver.estimate_psi_pyramid(
                 psi, tg, wg, live, wn, taps, jnp.float32(0.05),
                 jnp.float32(0.2), jnp.int32(max_iter), thresh,
-                psi_inv0, levels=lv,
+                psi_inv0,
                 coarse_max_iter=coarse_max_iter,
-                warp_window=2, momentum=0.95, fine_window=1,
-                stall_window=16, stall_rel=1e-2,
-                fused_db=True, taps_static=taps_static, conv_mxu=True,
-                inverse_iters=inverse_iters, skip_inv_warps=True,
-                inv_multigrid=dim >= 128,
+                taps_static=taps_static,
+                **kw,
             )
         return jax.jit(_run)
 
