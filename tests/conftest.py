@@ -81,6 +81,7 @@ _SLOW = {
     "test_compositive_fold_matches_xla",
     "test_compositive_fused_matches_xla",
     "test_inverse_multigrid_matches_cold",
+    "test_inverse_multigrid_production_scale",
     "test_estimate_psi_pingpong_full_solve",
     "test_fused_db_lane_packed_matches_xla",
     "test_estimate_psi_lane_packed_full_solve",
@@ -112,6 +113,7 @@ _SLOW = {
     "test_estimate_inverse_window_matches_exact",
     # test_pipeline.py
     "test_pipeline_compositive_mode",
+    "test_compositive_tracks_unbounded_drift",
     "test_checkpoint_resume_equivalence",
 }
 

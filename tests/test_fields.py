@@ -275,3 +275,40 @@ def test_zoffset_samplers_match_plain_window():
         np.asarray(fields.sample_nearest_floor_window(w, psi, 3)),
         atol=0,
     )
+
+
+def test_hybrid_window_exact_matches_exact_sampler():
+    """sample_hybrid_window_exact == the exact gather sampler on a field
+    mixing sub-voxel background with a far-out-of-window region, for both
+    the trilinear and the floor rule, and under capacity overflow (the
+    lax.cond full-exact fallback)."""
+    rng = np.random.default_rng(3)
+    dims = (16, 24, 32)
+    vol = jnp.asarray(rng.normal(size=dims), jnp.float32)
+    ident = fields.identity_field(dims)
+    # smooth sub-voxel background
+    disp = 0.4 * jnp.asarray(
+        np.sin(np.stack(np.meshgrid(
+            np.linspace(0, 3, dims[0]), np.linspace(0, 2, dims[1]),
+            np.linspace(0, 4, dims[2]), indexing="ij",
+        ))), jnp.float32,
+    )
+    # a blob of large displacement (way outside window 2)
+    blob = np.zeros((3,) + dims, np.float32)
+    blob[0, 4:9, 6:12, 8:16] = 6.3
+    blob[2, 4:9, 6:12, 8:16] = -5.1
+    psi = ident + disp + jnp.asarray(blob)
+
+    exact = fields.sample_trilinear(vol, psi)
+    hyb = fields.sample_hybrid_window_exact(vol, psi, max_disp=2)
+    np.testing.assert_allclose(np.asarray(hyb), np.asarray(exact), atol=1e-5)
+
+    exact_f = fields.sample_nearest_floor(vol, psi)
+    hyb_f = fields.sample_hybrid_window_exact(vol, psi, max_disp=2, floor=True)
+    np.testing.assert_array_equal(np.asarray(hyb_f), np.asarray(exact_f))
+
+    # overflow: cap smaller than the blob voxel count -> exact fallback
+    hyb_o = fields.sample_hybrid_window_exact(vol, psi, max_disp=2, cap=16)
+    np.testing.assert_allclose(
+        np.asarray(hyb_o), np.asarray(exact), atol=1e-6
+    )

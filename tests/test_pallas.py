@@ -332,10 +332,43 @@ def test_inverse_multigrid_matches_cold():
     err_s = float(jnp.max(jnp.abs(q_mg_s - q_cold_s)))
     # measured 8.6e-3 on this 16-voxel-extent grid (the half-res coarse
     # level is only 8 voxels across — interpolation error shrinks with
-    # resolution: 256^3 production measures 1.5e-3). 2x headroom, and
-    # 2x tighter than the rough-field gate; the composition-residual
-    # asserts above are the functional criterion.
-    assert err_s < 1.8e-2, err_s
+    # resolution: 256^3 production measures 1.5e-3). 1.5x headroom so a
+    # 2x regression FAILS here (round-4 VERDICT item 9); the production-
+    # scale bound lives in test_inverse_multigrid_production_scale.
+    assert err_s < 1.3e-2, err_s
+
+
+def test_inverse_multigrid_production_scale():
+    """Production-scale accuracy gate (round-4 VERDICT item 9): a 64^3
+    grid with a full-extent smooth field — the regime the Sobolev filter
+    actually produces — warm-started multigrid inverse vs the cold
+    48-step fixed point. Measured 3.38e-3 vox; the 6e-3 bound is 1.8x
+    headroom, so a coarse-level regression of 2x production error fails
+    CI (vs the old 2e-2 blanket gate = 13x the production error)."""
+    from sobfu_tpu import solver
+
+    dims = (64, 64, 64)
+    ident = fields.identity_field(dims)
+    zz, yy, xx = [ident[i] for i in (2, 1, 0)]
+    disp = jnp.stack(
+        [
+            1.4 * jnp.sin(2 * jnp.pi * yy / dims[1]) ** 2
+            * jnp.sin(jnp.pi * xx / dims[2]),
+            1.0 * jnp.sin(jnp.pi * xx / dims[2]) ** 2,
+            0.8 * jnp.sin(jnp.pi * zz / dims[0])
+            * jnp.sin(jnp.pi * yy / dims[1]),
+        ]
+    )
+    psi = ident + disp
+    q_cold = fields.estimate_inverse_window(psi, iters=48, max_disp=2)
+    # previous-frame-style warm start: the fixed point perturbed, not
+    # the fixed point itself
+    warm = q_cold + 0.05 * jnp.sin(2 * jnp.pi * xx / dims[2])[None]
+    q_mg = solver.estimate_inverse_multigrid(
+        psi, iters=3, K=2, init=warm, fine_iters=1, interpret=True
+    )
+    err = float(jnp.max(jnp.abs(q_mg - q_cold)))
+    assert err < 6e-3, err
 
 
 def test_inverse_multigrid_coarse_carry():

@@ -325,6 +325,133 @@ def test_compositive_mode_tracks_beyond_window():
     assert e_after < 0.8 * e_before, (e_before, e_after)
 
 
+def test_window_guard_margin_math():
+    """window_guard_margin = distance of the displacement range to the
+    window-K exactness interval (-K, K+1), per the sampler's bound."""
+    dims = (8, 8, 8)
+    psi = fields.identity_field(dims)
+    # displacement range [0, 0.5]: margin for K=1 is
+    # min(min_disp - (-1), 2 - max_disp) = min(1.0, 1.5) = 1.0
+    psi = psi.at[0, 0, 0, 0].add(0.5)
+    assert abs(float(solver.window_guard_margin(psi, K=1)) - 1.0) < 1e-6
+    # a -1.25 displacement leaves the K=1 interval: margin goes negative
+    psi2 = fields.identity_field(dims).at[1, 2, 2, 2].add(-1.25)
+    assert float(solver.window_guard_margin(psi2, K=1)) < 0
+    # ... but stays inside K=2's (-2, 3)
+    assert float(solver.window_guard_margin(psi2, K=2)) > 0
+
+
+def test_window_guard_detects_out_of_window_solve():
+    """The guarded-K=1 recipe (bench 64^3 headline): on a sub-voxel scene
+    the K=1 solve carries a positive margin AND matches K=2 exactly; on a
+    larger-motion scene the guard flags the K=1 result for the K=2 redo."""
+    p = make_params(alpha=0.15, w_reg=0.3, max_iter=160)
+    vs = SIZE / DIM
+    c = (0.065, 0.065, 0.065)
+    taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
+    args = (jnp.float32(p.alpha), jnp.float32(p.w_reg),
+            jnp.int32(160), jnp.float32(-1.0))
+
+    def solve(shift_vox, K):
+        phi_g = TsdfVolume(p)
+        phi_g.init_sphere(c, 0.01)
+        phi_n = TsdfVolume(p)
+        phi_n.init_sphere((c[0] - shift_vox * vs, c[1], c[2]), 0.01)
+        psi = fields.identity_field((DIM, DIM, DIM))
+        return solver.estimate_psi(
+            psi, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight,
+            taps, *args, inverse_iters=4, warp_window=K, momentum=0.9,
+        )
+
+    small1, small2 = solve(0.5, 1), solve(0.5, 2)
+    # sub-voxel scene: margin comfortably above the 0.5 fallback threshold
+    assert float(solver.window_guard_margin(small1.psi, K=1)) > 0.5
+    # same interpolation SEMANTICS; the K=1/K=2 programs lower with
+    # different slice-stack shapes, so agreement is to f32 reassociation
+    # (measured 1.1e-5 over 160 momentum iterations), not bitwise
+    np.testing.assert_allclose(
+        np.asarray(small1.psi), np.asarray(small2.psi), atol=5e-5
+    )
+    # ~2.4-voxel motion: the K=1 warps CLAMP — the data force vanishes at
+    # the boundary, so the field stalls just inside the window (measured
+    # margin +0.15: wrong answer, positive margin). The CONSERVATIVE 0.5
+    # threshold catches it; production redoes such frames at K=2.
+    big1 = solve(2.4, 1)
+    m_big = float(solver.window_guard_margin(big1.psi, K=1))
+    assert m_big < 0.5, m_big
+    # and the K=2 redo genuinely tracks further than the clamped solve
+    big2 = solve(2.4, 2)
+    d1 = float(jnp.max(jnp.abs(big1.psi - fields.identity_field((DIM,) * 3))))
+    d2 = float(jnp.max(jnp.abs(big2.psi - fields.identity_field((DIM,) * 3))))
+    assert d2 > d1, (d1, d2)
+
+
+def test_compositive_increment_pyramid_reaches_plain_energy():
+    """Increment pyramid (coarse warm start ON the compositive increment,
+    round-5): with the same fine iteration cap it must reach at least the
+    energy of the plain compositive solve — and the solve/tail outputs
+    stay finite — on an UNBOUNDED accumulated field (the mode's regime)."""
+    p = make_params(alpha=0.15, w_reg=0.4, max_iter=128)
+    vs = SIZE / DIM
+    psi0 = fields.identity_field((DIM, DIM, DIM))
+    psi0 = psi0.at[0].add(6.0)  # accumulated +6 vox, way beyond window 2
+    c = (0.065, 0.065, 0.065)
+    phi_g = TsdfVolume(p)
+    phi_g.init_sphere(c, 0.01)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((c[0] + 6 * vs - 1.2 * vs, c[1], c[2]), 0.01)
+    taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
+    args = (
+        phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps,
+        jnp.float32(p.alpha), jnp.float32(p.w_reg),
+        jnp.int32(128), jnp.float32(-1.0),
+    )
+    plain = solver.estimate_psi_compositive(
+        psi0, *args, inverse_iters=8, warp_window=2, momentum=0.9,
+    )
+    pyr = solver.estimate_psi_compositive(
+        psi0, *args, inverse_iters=8, warp_window=2, momentum=0.9,
+        pyramid_levels=2, coarse_max_iter=96,
+    )
+    e_plain = float(solver.data_energy(phi_g.tsdf, plain.tsdf_n_psi))
+    e_pyr = float(solver.data_energy(phi_g.tsdf, pyr.tsdf_n_psi))
+    assert e_pyr <= e_plain * 1.05, (e_pyr, e_plain)
+    assert not np.isnan(np.asarray(pyr.psi)).any()
+    assert int(pyr.iters) > int(plain.iters)  # coarse iters counted
+
+
+def test_compositive_skip_inverse_passthrough():
+    """skip_inverse (the no-log production loop): psi_inv and the global
+    warps come back as pass-throughs, and the SOLVE outputs are identical
+    to the full run — inverse maintenance must not affect psi."""
+    p = make_params(alpha=0.1, w_reg=0.4, max_iter=32)
+    c = (0.065, 0.065, 0.065)
+    phi_g = TsdfVolume(p)
+    phi_g.init_sphere(c, 0.01)
+    phi_n = TsdfVolume(p)
+    phi_n.init_sphere((c[0] - 0.001, c[1], c[2]), 0.01)
+    taps = jnp.asarray(solver.sobolev_filter_1d(p.s, p.lambda_))
+    psi0 = fields.identity_field((DIM, DIM, DIM))
+    inv0 = fields.identity_field((DIM, DIM, DIM)) + 0.123
+    args = (
+        psi0, phi_g.tsdf, phi_g.weight, phi_n.tsdf, phi_n.weight, taps,
+        jnp.float32(p.alpha), jnp.float32(p.w_reg),
+        jnp.int32(32), jnp.float32(-1.0), inv0,
+    )
+    full = solver.estimate_psi_compositive(*args, warp_window=2)
+    skip = solver.estimate_psi_compositive(
+        *args, warp_window=2, skip_inverse=True
+    )
+    np.testing.assert_array_equal(np.asarray(skip.psi), np.asarray(full.psi))
+    np.testing.assert_array_equal(
+        np.asarray(skip.tsdf_n_psi), np.asarray(full.tsdf_n_psi)
+    )
+    np.testing.assert_array_equal(np.asarray(skip.psi_inv), np.asarray(inv0))
+    np.testing.assert_array_equal(
+        np.asarray(skip.tsdf_global_psi_inv), np.asarray(phi_g.tsdf)
+    )
+
+
 def test_compositive_incremental_inverse_tracks_exact():
     """Incremental psi_inv maintenance (invert the bounded increment with
     the window sampler, compose with the previous inverse, exact-anchor
