@@ -225,3 +225,22 @@ def save_field_vti(field_disp: np.ndarray, path: str, spacing=(1.0, 1.0, 1.0)) -
         f.write(header)
         f.write(raw)
         f.write(b"\n</AppendedData>\n</VTKFile>\n")
+
+
+def load_field_vti(path: str) -> np.ndarray:
+    """Read a displacement field written by :func:`save_field_vti` back as
+    f32[3, Z, Y, X] (the round trip the reference never had — demo.cpp
+    only wrote fields; tools/validate_cli_scene.py consumes these to
+    check the LOGGED field against analytic ground truth)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    head, _, rest = blob.partition(b'<AppendedData encoding="raw">\n_')
+    import re
+
+    m = re.search(rb'WholeExtent="0 (\d+) 0 (\d+) 0 (\d+)"', head)
+    assert m, f"{path}: no WholeExtent"
+    X, Y, Z = (int(m.group(i)) + 1 for i in (1, 2, 3))
+    (n_bytes,) = struct.unpack("<Q", rest[:8])
+    data = np.frombuffer(rest[8 : 8 + n_bytes], dtype="<f4")
+    assert data.size == 3 * X * Y * Z, (data.size, X, Y, Z)
+    return np.moveaxis(data.reshape(Z, Y, X, 3), -1, 0).copy()
