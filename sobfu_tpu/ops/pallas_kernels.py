@@ -529,6 +529,156 @@ def window_warp_pallas_mixed(
     return out[0], out[1]
 
 
+def _make_warp_fuse_kernel(BZ, TY, Y, X, K, Zg):
+    """Floor-warp the live WEIGHT volume at psi and fuse the warped live
+    (tsdf, weight) pair into the global volume — one (z, y)-tile.
+
+    The weight warp body is the floor branch of :func:`_make_warp_kernel`;
+    the epilogue applies the reference fuse rule (tsdf_volume.cu:103-130)
+    in-register, so the production frame's separate weight-warp pass and
+    elementwise fuse pass (2 extra kernel pipelines + a full weight-volume
+    HBM round trip) collapse into this single pipeline."""
+
+    def kernel(scal_ref, vol_ref, psi_ref, tg_ref, wg_ref, tnp_ref,
+               tg_out, wg_out):
+        # scal_ref: f32[1] = [max_weight] (SMEM)
+        # vol_ref:  f32[1, 1, 1, BZ+2K, TY+2K, X] overlapping weight tile
+        # psi_ref:  f32[3, BZ, TY, X] absolute coords (voxel units)
+        # tg/wg/tnp_ref, outs: f32[BZ, TY, X] center blocks
+        iz = pl.program_id(0)
+        iy = pl.program_id(1)
+        z0 = iz * BZ
+        y0 = iy * TY
+        shape_o = (BZ, TY, X)
+        vx = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2).astype(jnp.float32)
+        vy = (
+            jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) + y0
+        ).astype(jnp.float32)
+        vz = (
+            jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0
+        ).astype(jnp.float32)
+
+        cx = jnp.floor(jnp.clip(psi_ref[0], 0.0, X - 1))
+        cy = jnp.floor(jnp.clip(psi_ref[1], 0.0, Y - 1))
+        cz = jnp.floor(jnp.clip(psi_ref[2], 0.0, Zg - 1))
+        dx = jnp.clip(cx - vx, -K, K)
+        dy = jnp.clip(cy - vy, -K, K)
+        dz = jnp.clip(cz - vz, -K, K)
+        wxs = [(dx == ox).astype(jnp.float32) for ox in range(-K, K + 1)]
+        wys = [(dy == oy).astype(jnp.float32) for oy in range(-K, K + 1)]
+
+        def warp_body(i, acc):
+            oz = i - K
+            lz = vol_ref[0, 0, 0, pl.ds(K + oz, BZ), :, :]
+            lxz = [_shift_x_edge(lz, ox, X) for ox in range(-K, K + 1)]
+            acc_y = jnp.zeros(shape_o, jnp.float32)
+            for oy in range(-K, K + 1):
+                acc_x = jnp.zeros(shape_o, jnp.float32)
+                for ox in range(-K, K + 1):
+                    lzy = lxz[ox + K][:, K + oy : K + oy + TY, :]
+                    acc_x = acc_x + wxs[ox + K] * lzy
+                acc_y = acc_y + wys[oy + K] * acc_x
+            wz = (dz == oz.astype(jnp.float32)).astype(jnp.float32)
+            return acc + wz * acc_y
+
+        wnp = jax.lax.fori_loop(
+            0, 2 * K + 1, warp_body, jnp.zeros(shape_o, jnp.float32)
+        )
+
+        # fuse rule (reference tsdf_volume.cu:103-130; tsdf.fuse_volumes)
+        maxw = scal_ref[0]
+        tg = tg_ref[...]
+        wg = wg_ref[...]
+        tnp = tnp_ref[...]
+        skip = (wnp == 0.0) | (
+            (wnp == 1.0) & ((tnp == 0.0) | (tnp == -1.0))
+        )
+        t_new = (wg * tg + tnp) / (wg + 1.0)
+        w_new = jnp.minimum(wg + 1.0, maxw)
+        tg_out[...] = jnp.where(skip, tg, t_new)
+        wg_out[...] = jnp.where(skip, wg, w_new)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "BZ", "TY", "interpret")
+)
+def window_warp_fuse_pallas(
+    tsdf_g: jnp.ndarray,  # f32[Z, Y, X] canonical tsdf
+    weight_g: jnp.ndarray,  # f32[Z, Y, X] canonical weight
+    tsdf_n_psi: jnp.ndarray,  # f32[Z, Y, X] live tsdf already warped at psi
+    weight_n: jnp.ndarray,  # f32[Z, Y, X] UNWARPED live weight
+    psi: jnp.ndarray,  # f32[3, Z, Y, X] absolute coords (voxel units)
+    max_weight: jnp.ndarray,
+    K: int = 2,
+    BZ: int = 0,
+    TY: int = 0,
+    interpret: bool = False,
+):
+    """Fuse a solved frame into the canonical volume in ONE pipeline pass:
+    weight_n is floor-warped at psi in-kernel (sample_nearest_floor_window
+    semantics) and the (tsdf_n_psi, warped weight) pair is blended with the
+    reference running-average rule (tsdf.fuse_volumes). Returns
+    (tsdf_g', weight_g') — bit-identical to
+
+        wnp = sample_nearest_floor_window(weight_n, psi, max_disp=K)
+        fuse_volumes(tsdf_g, weight_g, tsdf_n_psi, wnp, max_weight)
+
+    while skipping the separate weight-warp kernel and the full-volume
+    elementwise fuse pass (the production frame step's fuse stage)."""
+    Z, Y, X = weight_n.shape
+    BZ, TY = _warp_tiling(Z, Y, X, K, BZ, TY)
+    vol_t = prestack_warp_vol(weight_n[None], K, BZ, TY)
+    nz, ny = Z // BZ, Y // TY
+    scal = max_weight.astype(jnp.float32).reshape(1)
+
+    tile_f = (
+        2 * (BZ + 2 * K) * (TY + 2 * K) * X
+        + 2 * 3 * BZ * TY * X
+        + 2 * 5 * BZ * TY * X  # tg/wg/tnp in + 2 outs, double-buffered
+        + (2 * (2 * K + 1) + 4) * BZ * TY * X
+        + (2 * K + 1) * BZ * (TY + 2 * K) * X
+    )
+    vmem_mb = min(120, max(32, (4 * tile_f >> 20) + 8))
+    cparams = (
+        {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb << 20)}
+        if not interpret
+        else {}
+    )
+
+    center = pl.BlockSpec(
+        (BZ, TY, X), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _make_warp_fuse_kernel(BZ, TY, Y, X, K, Z),
+        grid=(nz, ny),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, 1, BZ + 2 * K, TY + 2 * K, X),
+                lambda i, j: (i, j, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, BZ, TY, X), lambda i, j: (0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            center,
+            center,
+            center,
+        ],
+        out_specs=[center, center],
+        out_shape=[
+            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+        ],
+        interpret=interpret,
+        **cparams,
+    )(scal, vol_t, psi, tsdf_g, weight_g, tsdf_n_psi)
+
+
 # ---------------------------------------------------------------------------
 # double-buffered fused GD iteration (the production TPU hot loop)
 # ---------------------------------------------------------------------------

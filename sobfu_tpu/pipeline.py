@@ -52,6 +52,8 @@ from sobfu_tpu.tsdf import TsdfVolume
         "inv_coarse",
         "fold_xmats",
         "solver_mode",
+        "axis_aligned",
+        "skip_weight_warp",
     ),
 )
 def fused_frame_step(
@@ -95,6 +97,8 @@ def fused_frame_step(
     inv_coarse=False,
     fold_xmats=False,
     solver_mode="additive",
+    axis_aligned=False,
+    skip_weight_warp=False,
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -118,7 +122,7 @@ def fused_frame_step(
     zeros = jnp.zeros(dims_zyx, jnp.float32)
     tn, wn = integrate_dists(
         zeros, zeros, dists, vol2cam, intr_arr, voxel_sizes,
-        trunc_dist, eta, dims_zyx,
+        trunc_dist, eta, dims_zyx, axis_aligned=axis_aligned,
     )
 
     if solver_mode == "compositive":
@@ -165,6 +169,7 @@ def fused_frame_step(
             fine_window=fine_window,
             stall_window=stall_window, stall_rel=stall_rel,
             skip_inv_warps=skip_inv_warps,
+            skip_weight_warp=skip_weight_warp,
             inv_multigrid=inv_multigrid,
             inv_coarse=inv_coarse and skip_inv_warps,
             fold_xmats=fold_xmats,
@@ -185,13 +190,45 @@ def fused_frame_step(
             x_pad_to=x_pad_to,
             stall_window=stall_window, stall_rel=stall_rel,
             skip_inv_warps=skip_inv_warps,
+            skip_weight_warp=skip_weight_warp,
             inner_steps=inner_steps,
             fold_xmats=fold_xmats,
         )
 
-    tg2, wg2 = fuse_volumes(
-        tsdf_g, weight_g, res.tsdf_n_psi, res.weight_n_psi, max_weight
+    # the chunked branch above has no skip_weight_warp plumbing: only the
+    # pyramid / plain estimate_psi branches can have skipped the tail
+    skipped = (
+        skip_weight_warp
+        and solver_mode == "additive"
+        and (pyramid_levels > 1 or not n_chunks)
     )
+    if skipped:
+        # the solver skipped its weight-warp tail (res.weight_n_psi is the
+        # UNWARPED weight_n); the warp rides the fuse pass instead — on the
+        # Pallas path a single pipeline kernel, on CPU the XLA window ops
+        K = warp_window or 2
+        if fused_db:
+            from sobfu_tpu.ops.pallas_kernels import window_warp_fuse_pallas
+
+            tg2, wg2 = window_warp_fuse_pallas(
+                tsdf_g, weight_g, res.tsdf_n_psi, wn, res.psi, max_weight,
+                K=K,
+            )
+        else:
+            from sobfu_tpu import fields
+
+            wnp = fields.sample_nearest_floor_window(wn, res.psi, max_disp=K)
+            tg2, wg2 = fuse_volumes(
+                tsdf_g, weight_g, res.tsdf_n_psi, wnp, max_weight
+            )
+            # the XLA fallback materialised wnp anyway — hand it back so
+            # phi_n_psi.weight stays correct (only the Pallas one-pass
+            # kernel leaves it stale; SobFusion._n_psi_weight_stale)
+            res = res._replace(weight_n_psi=wnp)
+    else:
+        tg2, wg2 = fuse_volumes(
+            tsdf_g, weight_g, res.tsdf_n_psi, res.weight_n_psi, max_weight
+        )
     return tg2, wg2, tn, wn, res
 
 
@@ -210,6 +247,12 @@ class SobFusion:
         # demand.
         self.need_inv_warps = True
         self._inv_warps_stale = False
+        # phi_n_psi.weight is likewise a per-frame product with no no-log
+        # consumer: on the Pallas production path the floor warp of
+        # weight_n rides the fuse kernel (window_warp_fuse_pallas) and the
+        # standalone warped copy is never materialised; consumers refresh
+        # it on demand (_refresh_n_psi_weight).
+        self._n_psi_weight_stale = False
 
         self.phi_global: Optional[TsdfVolume] = None
         self.phi_global_psi_inv: Optional[TsdfVolume] = None
@@ -311,6 +354,25 @@ class SobFusion:
                 np.linalg.inv(np.asarray(self.poses[-1], np.float32))
                 @ self.phi_global.pose
             )
+            # rotation-free pose (the reference app's own regime: static
+            # camera + pure-translation volume pose, demo.cpp:71-74) ->
+            # separable MXU projection in integrate_dists. Static arg;
+            # constant across a run, so no re-trace.
+            axis_aligned = bool(
+                np.allclose(vol2cam[:3, :3], np.eye(3), atol=1e-6)
+            )
+            # no-log loop: fold the weight_n floor warp into the fuse
+            # stage (Pallas: one pipeline pass; XLA: same two ops, with
+            # weight_n_psi handed back). phi_n_psi.weight consumers
+            # refresh on demand, mirroring need_inv_warps.
+            skip_weight_warp = (
+                not self.need_inv_warps
+                and mode == "additive"
+                and (
+                    self.solver.pyramid_levels > 1
+                    or not self.solver.z_chunks
+                )
+            )
             tg2, wg2, tn, wn, res = fused_frame_step(
                 jnp.asarray(depth),
                 self.phi_global.tsdf,
@@ -361,12 +423,19 @@ class SobFusion:
                 inv_coarse=self.solver.inv_coarse,
                 fold_xmats=self.solver.fold_xmats,
                 solver_mode=mode,
+                axis_aligned=axis_aligned,
+                skip_weight_warp=skip_weight_warp,
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi
             self.psi_inv.data = res.psi_inv
             self.phi_n_psi.tsdf = res.tsdf_n_psi
             self.phi_n_psi.weight = res.weight_n_psi
+            # only the Pallas one-pass fuse leaves weight_n_psi unwarped
+            # (the XLA fallback hands the materialised warp back)
+            self._n_psi_weight_stale = bool(
+                skip_weight_warp and self.solver.fused_pallas
+            )
             if self.need_inv_warps:
                 self.phi_global_psi_inv.tsdf = res.tsdf_global_psi_inv
                 self.phi_global_psi_inv.weight = res.weight_global_psi_inv
@@ -459,7 +528,21 @@ class SobFusion:
     def get_phi_n_mesh(self):
         return self._get_mesh(self.phi_n)
 
+    def _refresh_n_psi_weight(self):
+        """Recompute phi_n_psi.weight on demand: the Pallas production
+        fuse pass warps weight_n in-kernel and never materialises the
+        standalone warped copy (see skip_weight_warp in __call__)."""
+        from sobfu_tpu import fields
+
+        K = self.solver.warp_window or 2
+        self.phi_n_psi.weight = fields.sample_nearest_floor_window(
+            self.phi_n.weight, self.psi.data, max_disp=K
+        )
+        self._n_psi_weight_stale = False
+
     def get_phi_n_psi_mesh(self):
+        if self._n_psi_weight_stale:
+            self._refresh_n_psi_weight()
         return self._get_mesh(self.phi_n_psi)
 
     def get_deformation_field(self) -> DeformationField:

@@ -248,6 +248,7 @@ def sobolev_smooth(
         "stall_rel",
         "skip_tails",
         "skip_inv_warps",
+        "skip_weight_warp",
         "inv_multigrid",
         "inv_coarse",
         "fold_xmats",
@@ -285,6 +286,7 @@ def estimate_psi(
     stall_rel: float = 1e-3,
     skip_tails: bool = False,
     skip_inv_warps: bool = False,
+    skip_weight_warp: bool = False,
     inv_multigrid: bool = False,
     inv_coarse: bool = False,
     fold_xmats: bool = False,
@@ -744,7 +746,13 @@ def estimate_psi(
         else:
             tsdf_g_inv = warp_scalar(tsdf_global, psi_inv)
             weight_g_inv = warp_floor(weight_global, psi_inv)
-        weight_n_psi = warp_floor(weight_n, psi_final)
+        # skip_weight_warp: the caller fuses the frame with
+        # ops.pallas_kernels.window_warp_fuse_pallas, which floor-warps
+        # weight_n in the fuse pipeline itself — the separate warp pass
+        # here would be dead work (production no-log frame step).
+        weight_n_psi = (
+            weight_n if skip_weight_warp else warp_floor(weight_n, psi_final)
+        )
 
     return SolveResult(
         psi=psi_final,
@@ -945,6 +953,7 @@ def estimate_psi_pyramid(
     stall_window: int = 0,
     stall_rel: float = 1e-3,
     skip_inv_warps: bool = False,
+    skip_weight_warp: bool = False,
     inv_multigrid: bool = False,
     inv_coarse: bool = False,
     fold_xmats: bool = False,
@@ -1094,6 +1103,7 @@ def estimate_psi_pyramid(
             stall_window=stall_window,
             stall_rel=stall_rel,
             skip_inv_warps=skip_inv_warps,
+            skip_weight_warp=skip_weight_warp,
             inv_multigrid=inv_multigrid,
             inv_coarse=inv_coarse,
             fold_xmats=fold_xmats,

@@ -55,7 +55,7 @@ def _truncate(sdf: jnp.ndarray, trunc_dist: float) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("dims_zyx",))
+@functools.partial(jax.jit, static_argnames=("dims_zyx", "axis_aligned"))
 def integrate_dists(
     tsdf: jnp.ndarray,
     weight: jnp.ndarray,
@@ -67,6 +67,7 @@ def integrate_dists(
     eta: jnp.ndarray,
     dims_zyx: Tuple[int, int, int],
     z_offset=0,
+    axis_aligned: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Projective TSDF integration of a metric ray-length ('dists') map.
 
@@ -82,27 +83,88 @@ def integrate_dists(
     vol2cam: f32[4,4] affine (camera_pose^-1 @ volume_pose,
     reference tsdf_volume.cpp:94-99). intr: f32[4] = (fx, fy, cx, cy).
     z_offset: global z index of the first local slice (for z-sharded blocks).
+
+    axis_aligned: caller certifies vol2cam[:3,:3] == I (the reference app's
+    own regime: the camera never moves and the volume pose is a pure
+    translation, demo.cpp:71-74). The projection is then SEPARABLE —
+    u depends on (x, z) only, v on (y, z) only — and the per-voxel image
+    read Dp[z,y,x] = dists[v(z,y), u(z,x)] factors into two batched
+    one-hot contractions that ride the MXU. The general-rotation fallback
+    is a flat XLA gather, which TPUs execute serially: measured 150 ms at
+    256^3 vs ~1 ms for the separable path (the single largest op in the
+    round-4 end-to-end frame).
     """
     H, W = dists.shape
-    vc = voxel_centers(dims_zyx, (voxel_sizes[0], voxel_sizes[1], voxel_sizes[2]))
-    vc = vc.at[2].add(jnp.asarray(z_offset, jnp.float32) * voxel_sizes[2])
-
-    R = vol2cam[:3, :3]
-    t = vol2cam[:3, 3]
-    cam = jnp.einsum("ij,jzyx->izyx", R, vc) + t[:, None, None, None]
-
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-    u = fx * (cam[0] / cam[2]) + cx
-    v = fy * (cam[1] / cam[2]) + cy
 
-    in_image = (u >= 0) & (v >= 0) & (u < W) & (v < H)
-    ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
-    vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
-    Dp = jnp.take(dists.reshape(-1), vi * W + ui)
+    if axis_aligned:
+        Z, Y, X = dims_zyx
+        vsx, vsy, vsz = voxel_sizes[0], voxel_sizes[1], voxel_sizes[2]
+        t = vol2cam[:3, 3]
+        # voxel-centre coordinate vectors per axis (voxel_centers + t)
+        xs = (jnp.arange(X, dtype=jnp.float32) + 0.5) * vsx + t[0]
+        ys = (jnp.arange(Y, dtype=jnp.float32) + 0.5) * vsy + t[1]
+        zs = (
+            jnp.arange(Z, dtype=jnp.float32)
+            + 0.5
+            + jnp.asarray(z_offset, jnp.float32)
+        ) * vsz + t[2]
 
-    valid = in_image & (Dp > 0.0) & (cam[2] > 0.0)
+        inv_z = 1.0 / zs  # f32[Z]
+        u = fx * xs[None, :] * inv_z[:, None] + cx  # f32[Z, X]
+        v = fy * ys[None, :] * inv_z[:, None] + cy  # f32[Z, Y]
 
-    psdf = Dp - cam[2]
+        in_u = (u >= 0) & (u < W)
+        in_v = (v >= 0) & (v < H)
+        ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
+        vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
+
+        # Dp[z,y,x] = dists[vi[z,y], ui[z,x]] as two one-hot contractions.
+        # Precision HIGHEST keeps the f32 dists values exact through the
+        # MXU (each output is 1.0 * value + 0-terms; bf16x3 reconstructs
+        # the f32 product with 1.0 exactly).
+        ov = (
+            vi[:, :, None] == jnp.arange(H, dtype=jnp.int32)
+        ).astype(jnp.float32)  # f32[Z, Y, H]
+        ou = (
+            ui[:, :, None] == jnp.arange(W, dtype=jnp.int32)
+        ).astype(jnp.float32)  # f32[Z, X, W]
+        rows = jnp.einsum(
+            "zyh,hw->zyw", ov, dists,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        Dp = jnp.einsum(
+            "zyw,zxw->zyx", rows, ou,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+        cam_z = zs[:, None, None]  # f32[Z, 1, 1]
+        in_image = in_v[:, :, None] & in_u[:, None, :]
+        valid = in_image & (Dp > 0.0) & (cam_z > 0.0)
+        psdf = Dp - cam_z
+    else:
+        vc = voxel_centers(
+            dims_zyx, (voxel_sizes[0], voxel_sizes[1], voxel_sizes[2])
+        )
+        vc = vc.at[2].add(jnp.asarray(z_offset, jnp.float32) * voxel_sizes[2])
+
+        R = vol2cam[:3, :3]
+        t = vol2cam[:3, 3]
+        cam = jnp.einsum("ij,jzyx->izyx", R, vc) + t[:, None, None, None]
+
+        u = fx * (cam[0] / cam[2]) + cx
+        v = fy * (cam[1] / cam[2]) + cy
+
+        in_image = (u >= 0) & (v >= 0) & (u < W) & (v < H)
+        ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
+        vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
+        Dp = jnp.take(dists.reshape(-1), vi * W + ui)
+
+        valid = in_image & (Dp > 0.0) & (cam[2] > 0.0)
+        psdf = Dp - cam[2]
+
     new_w = jnp.where(psdf > -eta, 1.0, 0.0)
     new_t = _truncate(psdf, trunc_dist)
 
@@ -257,6 +319,10 @@ class TsdfVolume:
             jnp.float32(self.trunc_dist),
             jnp.float32(self.eta),
             self.dims_zyx,
+            # rotation-free poses take the separable MXU projection path
+            axis_aligned=bool(
+                np.allclose(vol2cam[:3, :3], np.eye(3), atol=1e-6)
+            ),
         )
 
     def integrate_volume(self, other: "TsdfVolume") -> None:

@@ -40,6 +40,9 @@ def state_dict(fusion) -> dict:
         state["inv_warps_stale"] = np.asarray(
             bool(getattr(fusion, "_inv_warps_stale", False))
         )
+        state["n_psi_weight_stale"] = np.asarray(
+            bool(getattr(fusion, "_n_psi_weight_stale", False))
+        )
     return state
 
 
@@ -104,6 +107,9 @@ def _restore(data, fusion) -> None:
         fusion._inv_warps_stale = bool(
             np.asarray(data["inv_warps_stale"])
         ) if "inv_warps_stale" in data else False
+        fusion._n_psi_weight_stale = bool(
+            np.asarray(data["n_psi_weight_stale"])
+        ) if "n_psi_weight_stale" in data else False
         fusion.psi = DeformationField(p.volume_dims, jnp.asarray(data["psi"]))
         fusion.psi_inv = DeformationField(p.volume_dims, jnp.asarray(data["psi_inv"]))
         fusion.solver = solver_mod.Solver(p)

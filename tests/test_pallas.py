@@ -812,6 +812,40 @@ def test_window_warp_pallas_mixed_matches_single_mode():
     np.testing.assert_allclose(np.asarray(flo), np.asarray(flo_r), atol=0)
 
 
+def test_window_warp_fuse_pallas_matches_composition():
+    """Single-pipeline weight-warp + fuse kernel == the two-stage
+    composition (sample_nearest_floor_window -> fuse_volumes), bit-exact,
+    including every skip rule (wnp==0, wnp==1 & tnp in {0,-1}) and the
+    max_weight clamp."""
+    from sobfu_tpu.ops.pallas_kernels import window_warp_fuse_pallas
+    from sobfu_tpu.tsdf import fuse_volumes
+
+    dims = (16, 16, 32)
+    rng = np.random.default_rng(11)
+    tg = jnp.asarray(rng.standard_normal(dims), jnp.float32)
+    wg = jnp.asarray(rng.integers(0, 64, dims), jnp.float32)
+    # live tsdf with exact 0.0 / -1.0 values to exercise the skip rules
+    tnp = jnp.asarray(
+        rng.choice([0.0, -1.0, 0.3, 0.8], size=dims), jnp.float32
+    )
+    # live weight with zeros and ones (both skip-rule operands)
+    wn = jnp.asarray(rng.choice([0.0, 1.0, 2.0], size=dims), jnp.float32)
+    psi = fields.identity_field(dims) + jnp.asarray(
+        rng.uniform(-1.8, 1.8, (3,) + dims), jnp.float32
+    )
+    maxw = jnp.float32(64.0)
+
+    tg2, wg2 = window_warp_fuse_pallas(
+        tg, wg, tnp, wn, psi, maxw, K=2, interpret=True
+    )
+    wnp = fields.sample_nearest_floor_window(wn, psi, max_disp=2)
+    tg_r, wg_r = fuse_volumes(tg, wg, tnp, wnp, maxw)
+    np.testing.assert_allclose(np.asarray(tg2), np.asarray(tg_r), atol=0)
+    np.testing.assert_allclose(np.asarray(wg2), np.asarray(wg_r), atol=0)
+    # the clamp actually bound: some wg was already at max
+    assert float(jnp.max(wg2)) == 64.0
+
+
 def test_fold_iteration_matches_xla():
     """Y-folded fused iteration (X=64 packed as y-pairs into 128 lanes —
     no dead lanes) == the XLA window step, incl. momentum, max-norm and

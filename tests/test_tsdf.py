@@ -101,6 +101,89 @@ def test_projective_integration_of_flat_depth():
     assert abs(tsdf[int(z_plane_vox) - 3, ci + 6, ci + 6] - col[int(z_plane_vox) - 3]) < 0.2
 
 
+def test_integrate_axis_aligned_matches_general():
+    """The separable MXU projection path (axis_aligned=True, rotation-free
+    vol2cam) == the general gather path, on a realistic noisy depth map."""
+    from sobfu_tpu.tsdf import integrate_dists
+
+    rng = np.random.default_rng(5)
+    H, W = 48, 64
+    dims = (32, 32, 32)
+    dists = jnp.asarray(
+        0.4 + 0.8 * rng.random((H, W)), jnp.float32
+    )
+    # punch some invalid (zero) pixels through it
+    mask = rng.random((H, W)) < 0.1
+    dists = dists * jnp.asarray(~mask, jnp.float32)
+    intr = jnp.asarray([100.0, 100.0, 32.0, 24.0], jnp.float32)
+    vol2cam = jnp.asarray(
+        np.array(
+            [[1, 0, 0, -0.5], [0, 1, 0, -0.5], [0, 0, 1, 0.45], [0, 0, 0, 1]],
+            np.float32,
+        )
+    )
+    vs = jnp.asarray([1.0 / 32, 1.0 / 32, 1.0 / 32], jnp.float32)
+    zeros = jnp.zeros(dims, jnp.float32)
+    args = (zeros, zeros, dists, vol2cam, intr, vs,
+            jnp.float32(0.1), jnp.float32(0.04), dims)
+    t_gen, w_gen = integrate_dists(*args, axis_aligned=False)
+    t_sep, w_sep = integrate_dists(*args, axis_aligned=True)
+    # identical pixel selection except possibly at exact floor boundaries
+    # (xs*inv_z vs xs/zs differ in the last ulp); require bitwise equality
+    # on >99.9% of voxels and full equality of the valid masks
+    diff_t = np.asarray(t_gen != t_sep).mean()
+    diff_w = np.asarray(w_gen != w_sep).mean()
+    assert diff_t < 1e-3 and diff_w < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(t_sep), np.asarray(t_gen), atol=0.05
+    )
+    # the z-offset plumbing (sharded blocks) matches too
+    t_gen_o, w_gen_o = integrate_dists(
+        zeros[:16], zeros[:16], dists, vol2cam, intr, vs,
+        jnp.float32(0.1), jnp.float32(0.04), (16, 32, 32),
+        z_offset=8, axis_aligned=False,
+    )
+    t_sep_o, w_sep_o = integrate_dists(
+        zeros[:16], zeros[:16], dists, vol2cam, intr, vs,
+        jnp.float32(0.1), jnp.float32(0.04), (16, 32, 32),
+        z_offset=8, axis_aligned=True,
+    )
+    assert np.asarray(t_gen_o != t_sep_o).mean() < 1e-3
+    assert np.asarray(w_gen_o != w_sep_o).mean() < 1e-3
+
+
+def test_integrate_auto_detects_axis_aligned_pose():
+    """TsdfVolume.integrate routes rotation-free poses through the
+    separable path and rotated poses through the general fallback, with
+    matching results for the identity case."""
+    p = make_params(dim=32, size=1.0)
+    p.intr = Intr(100.0, 100.0, 32.0, 24.0)
+    p.volume_pose = translation_pose((-0.5, -0.5, 0.5))
+    H, W = 48, 64
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    xl = (u - p.intr.cx) / p.intr.fx
+    yl = (v - p.intr.cy) / p.intr.fy
+    dists = jnp.asarray(1.0 * np.sqrt(xl**2 + yl**2 + 1), jnp.float32)
+
+    vol = TsdfVolume(p)
+    vol.integrate(dists, np.eye(4, dtype=np.float32), p.intr)
+
+    # a slightly rotated camera pose must take the general path and not
+    # crash (the separable precondition does not hold)
+    th = 0.03
+    R = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0],
+         [0, 0, 1]], np.float32,
+    )
+    pose_rot = np.eye(4, dtype=np.float32)
+    pose_rot[:3, :3] = R
+    vol_rot = TsdfVolume(p)
+    vol_rot.integrate(dists, pose_rot, p.intr)
+    t0, t1 = np.asarray(vol.tsdf), np.asarray(vol_rot.tsdf)
+    assert np.isfinite(t1).all()
+    assert (t0 != t1).any()  # rotation genuinely changed the projection
+
+
 def test_fusion_running_average_and_skips():
     g_t = jnp.asarray([[[0.5, 0.5, 0.5, 0.5]]], jnp.float32)
     g_w = jnp.asarray([[[2.0, 2.0, 2.0, 2.0]]], jnp.float32)
