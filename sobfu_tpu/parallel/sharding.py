@@ -655,7 +655,7 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
                     warm_inverse: bool = False, pyramid_levels: int = 1,
                     coarse_max_iter=None, fine_window=None,
                     stall_window: int = 0, stall_rel: float = 1e-3,
-                    fold_xmats: bool = False):
+                    fold_xmats: bool = False, axis_aligned: bool = False):
     """One full frame step (integrate -> solve -> fuse) over a
     ('scene', 'z') mesh: scenes are data-parallel, the grid is z-sharded.
 
@@ -703,9 +703,13 @@ def make_frame_step(mesh: Mesh, dims_zyx: Tuple[int, int, int],
                   voxel_sizes, trunc, eta, max_weight, taps, alpha, w_reg,
                   max_iter, thresh):
         z0 = jax.lax.axis_index(axis) * local_dims[0]
+        # axis_aligned: caller certifies every scene's vol2cam is
+        # rotation-free -> separable MXU projection (z_offset-aware; the
+        # one-hot contractions are shard-local, no collectives)
         tn_l, wn_l = integrate_dists(
             jnp.zeros_like(tg_l), jnp.zeros_like(wg_l), dists, vol2cam, intr,
             voxel_sizes, trunc, eta, local_dims, z0,
+            axis_aligned=axis_aligned,
         )
         K = warp_window
 
