@@ -583,16 +583,18 @@ def main():
                 pass
 
     # 512^3 on ONE chip (the BASELINE hat/umbrella scale, config 4):
-    # the z-slab SCAN solve (solver.estimate_psi_zscan) — its compiled
-    # program is one-slab-sized, which is what finally gets 512^3 past
-    # this pool's compile service (round-3: the fused Mosaic kernel took
-    # >58 min to compile, the unrolled chunked/monolithic XLA programs
-    # died with HTTP 500; the scan program compiles in ~6 min and runs
-    # ~253 ms/iter, docs/BENCHLOG.md round-4). bf16 STORAGE for the
-    # loop-invariant volumes, all arithmetic f32.
+    # PRIMARY path is the fused ping-pong Pallas loop (estimate_psi
+    # fused_db) — its Mosaic binary is TILE-sized, so grid growth costs
+    # only XLA-side compile time (~27 s measured round-5) and the
+    # per-iteration cost scales near-linearly from 256^3: measured
+    # 49.3 ms/iter (tools/profile_512pp.py; 44 ms would be linear),
+    # 5.2x the round-4 zscan's 257 ms. Fallback when the pool's compile
+    # service rejects it: the z-slab SCAN solve (one-slab-sized program,
+    # bf16 storage) at ~253 ms/iter — scan-serialized slab dispatches.
     per_iter_512 = None
+    path_512 = None
     if on_tpu:
-        def run_512():
+        def _mk_vols_512():
             from sobfu_tpu import fields as _f, solver as _s
             from sobfu_tpu.tsdf import init_sphere as _sph
 
@@ -605,6 +607,35 @@ def main():
                           0.205, 8 * vsz, 3 * vsz)
             taps5 = jnp.asarray(_s.sobolev_filter_1d(7, 0.1))
             psi5 = _f.identity_field(dms)
+            return psi5, tg5, tn5, taps5
+
+        def run_512_pp():
+            from sobfu_tpu import solver as _s
+
+            psi5, tg5, tn5, taps5 = _mk_vols_512()
+            taps_st = tuple(float(t) for t in np.asarray(taps5))
+
+            def go(n):
+                t0 = time.perf_counter()
+                res = _s.estimate_psi(
+                    psi5, tg5, tg5, tn5, tn5, taps5, jnp.float32(0.05),
+                    jnp.float32(0.2), jnp.int32(n), jnp.float32(-1.0),
+                    skip_tails=True, warp_window=K, momentum=0.9,
+                    fused_db=True, taps_static=taps_st,
+                )
+                assert np.isfinite(float(res.max_norm))
+                return time.perf_counter() - t0
+
+            go(2)  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                best = min(best, (go(6) - go(2)) / 4)
+            return best
+
+        def run_512_zscan():
+            from sobfu_tpu import solver as _s
+
+            psi5, tg5, tn5, taps5 = _mk_vols_512()
 
             def go(n):
                 t0 = time.perf_counter()
@@ -623,9 +654,14 @@ def main():
             return best
 
         try:
-            per_iter_512 = _with_retries(run_512, attempts=2)
+            per_iter_512 = _with_retries(run_512_pp, attempts=2)
+            path_512 = "fused_pp_pallas"
         except Exception:  # noqa: BLE001 — secondary metric, never fatal
-            pass
+            try:
+                per_iter_512 = _with_retries(run_512_zscan, attempts=2)
+                path_512 = "zscan_xla_bf16"
+            except Exception:  # noqa: BLE001
+                pass
 
     # production mode run to convergence (pyramid + momentum + fused),
     # with plain-GD energy equivalence evidence (VERDICT item 3)
@@ -690,8 +726,13 @@ def main():
             1,
         )
     if on_tpu and per_iter_512:
-        hbm_util["512_zscan"] = round(
-            100 * zscan_bytes_per_iter(512) / per_iter_512 / 1e9 / peak, 1
+        bytes_512 = (
+            fused_loop_bytes_per_iter(512)
+            if path_512 == "fused_pp_pallas"
+            else zscan_bytes_per_iter(512)
+        )
+        hbm_util[f"512_{path_512}"] = round(
+            100 * bytes_512 / per_iter_512 / 1e9 / peak, 1
         )
 
     # end-to-end solve latency at the reference's own workload settings
@@ -712,7 +753,7 @@ def main():
         "per_iter_ms_512cubed": (
             round(per_iter_512 * 1e3, 4) if per_iter_512 else None
         ),
-        "solver_path_512": "zscan_xla_bf16" if per_iter_512 else None,
+        "solver_path_512": path_512,
         "hbm_util_pct": hbm_util if on_tpu else None,
         "fps_at_2048_iters": round(1.0 / frame_s_2048, 3),
         f"fps_at_{dim_ref}cubed_2048_iters": round(fps_64, 2),
