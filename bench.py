@@ -245,6 +245,13 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
             return solver.estimate_psi_pyramid(
                 *common, psi_inv0,
                 taps_static=taps_static,
+                # round 5: the production frame step floor-warps weight_n
+                # inside the fuse pass (ops.pallas_kernels.
+                # window_warp_fuse_pallas via skip_weight_warp), so the
+                # solve itself no longer performs that tail — the warp's
+                # cost is measured where it now lives, in pipeline_fps's
+                # full frame. Also cuts ~1 GB of the 512^3 peak.
+                skip_weight_warp=True,
                 **solver.production_pyramid_kwargs(dim),
             )
         if chunks:
@@ -261,18 +268,31 @@ def fps_at_convergence(dim: int, conv_mxu: bool, with_oracle: bool = True) -> di
     # (pipeline.fused_frame_step jits the whole frame): the pyramid's
     # host-level orchestration (downsamples, per-level solves, upsamples)
     # otherwise pays a host->device round trip PER STAGE — ~15 dispatches
-    # at 256^3, which on a tunneled chip is pure overhead.
-    run_mom = jax.jit(_run_mom)
+    # at 256^3, which on a tunneled chip is pure overhead. At 512^3 the
+    # MONOLITHIC program exceeds the pool compile service's request-size
+    # limit (HTTP 413), so the staged orchestration runs instead — its
+    # per-level programs each compile, and at ~49 ms/iteration the
+    # dispatch overhead is noise.
+    run_mom = jax.jit(_run_mom) if dim < 512 else _run_mom
 
     # steady-state warm start for the inverse tail, as in production: the
     # "previous frame" is a genuinely different scene (half the shift), so
     # its inverse is a realistic — not self-fulfilling — warm start. The
-    # same compiled program serves both solves (only inputs differ).
+    # same compiled program serves both solves (only inputs differ) —
+    # which requires seeding psi_inv0 at its CARRY resolution: with the
+    # half-res inverse carry (production inv_coarse) the solve returns
+    # psi_inv half-res, and a full-res warm-up seed would trace a SECOND
+    # program (pipeline._coarse_inv_carry mirrors this; at 512^3 the two
+    # resident executables additionally exceed HBM).
     prev_tn, _ = init_sphere(
         dims, (vs,) * 3, (0.5 - 0.6 * vs, 0.5, 0.5), 0.202, trunc, eta
     )
-    ident = fields.identity_field(dims)
+    inv_dims = dims
+    if fused and solver.production_pyramid_kwargs(dim).get("inv_coarse"):
+        inv_dims = tuple(d // 2 for d in dims)
+    ident = fields.identity_field(inv_dims)
     inv_warm = run_mom(prev_tn, ident).psi_inv
+    del ident, prev_tn  # at 512^3 every held 0.5 GB matters
 
     def run_mom_steady():
         return run_mom(tn, inv_warm)
@@ -483,6 +503,23 @@ def _with_retries(fn, attempts=3, cooldown_s=90):
             time.sleep(cooldown_s)
 
 
+def measure_rtt_ms(reps: int = 30) -> float:
+    """Host<->device round-trip latency of a trivial dispatch+fetch: the
+    per-sample overhead every latency-INCLUSIVE fps figure pays on the
+    tunneled pool chip, and what a pipelined loop hides (async dispatch).
+    Reported so the recorded-vs-steady fps gap is attributable in the
+    artifact itself (round-4 VERDICT item 2)."""
+    one = jnp.float32(1.0)
+    f = jax.jit(lambda x: x + 1.0)
+    float(f(one))  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(one))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
 def main():
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
@@ -687,6 +724,21 @@ def main():
         except Exception:  # noqa: BLE001
             pass
 
+    # the production pyramid solve at the BASELINE config-4 scale
+    # (hat/umbrella 512^3), on the fused pp path — only attempted when
+    # the 512^3 kernel path itself came up
+    conv512 = {}
+    if on_tpu and path_512 == "fused_pp_pallas":
+        try:
+            conv512 = _with_retries(
+                lambda: fps_at_convergence(
+                    512, conv_mxu=True, with_oracle=False
+                ),
+                attempts=2,
+            )
+        except Exception:  # noqa: BLE001
+            pass
+
     # END-TO-END pipeline fps (depth -> preprocess -> integrate -> solve
     # -> fuse, the full SobFusion frame step; VERDICT r3 item 2)
     pipe128 = pipe256 = pipe_drift = {}
@@ -735,6 +787,22 @@ def main():
             100 * bytes_512 / per_iter_512 / 1e9 / peak, 1
         )
 
+    # recorded-vs-steady attribution: the latency-inclusive fps pays one
+    # host<->device round trip per frame that the pipelined (steady) loop
+    # hides behind the next frame's compute; measure the RTT and compare
+    # it against the actual recorded-minus-steady per-frame gap
+    rtt_ms = round(measure_rtt_ms(), 2) if on_tpu else None
+    rtt_attr_256 = None
+    if on_tpu and conv256 and conv256.get("fps") and conv256.get("fps_steady"):
+        gap_ms = 1e3 / conv256["fps"] - 1e3 / conv256["fps_steady"]
+        rtt_attr_256 = {
+            "recorded_minus_steady_ms": round(gap_ms, 2),
+            "tunnel_rtt_ms": rtt_ms,
+            "rtt_fraction_of_gap": (
+                round(rtt_ms / gap_ms, 2) if gap_ms > 0 else None
+            ),
+        }
+
     # end-to-end solve latency at the reference's own workload settings
     frame_s_2048 = per_iter * 2048
     result = {
@@ -767,8 +835,11 @@ def main():
         "voxel_iters_per_sec_256cubed_chunked": (
             round(vox_per_sec_256, 1) if vox_per_sec_256 else None
         ),
+        "tunnel_rtt_ms": rtt_ms,
+        "rtt_attribution_256": rtt_attr_256,
         "convergence_mode": conv or None,
         "convergence_mode_256cubed": conv256 or None,
+        "convergence_mode_512cubed": conv512 or None,
         "pipeline_fps_128": pipe128 or None,
         "pipeline_fps_256": pipe256 or None,
         "pipeline_fps_128_drift_compositive": pipe_drift or None,

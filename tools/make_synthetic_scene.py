@@ -164,6 +164,17 @@ def main(argv=None):
         "--noise", action="store_true",
         help="apply the sensor model to the sphere preset too",
     )
+    ap.add_argument(
+        "--ini",
+        help="render under a shipped scene .ini (the BASELINE scene "
+        "configs, params/params_snoopy.ini etc.): intrinsics, image "
+        "size, volume geometry and model constants come from the ini; "
+        "the articulated scene is scaled into its volume and held "
+        "static through START_FRAME's rigid-fusion warm-up; the ini is "
+        "copied to <out>/params.ini with the TPU compositive execution "
+        "keys appended (stall stop + momentum + window — the certified "
+        "production execution of the same model)",
+    )
     args = ap.parse_args(argv)
 
     from PIL import Image
@@ -171,6 +182,26 @@ def main(argv=None):
     H, W = args.height, args.width
     fx = fy = 0.55 * W
     cx, cy = W / 2 - 0.5, H / 2 - 0.5
+    scene_scale, scene_shift = 1.0, np.zeros(3)
+    start_frame = 0
+    if args.ini:
+        from sobfu_tpu.config import load_params
+
+        p_ini = load_params(args.ini)
+        fx, fy = p_ini.intr.fx, p_ini.intr.fy
+        cx, cy = p_ini.intr.cx, p_ini.intr.cy
+        # reference captures are cx ~ W/2 (demo.cpp uses 640x480)
+        W, H = int(round(2 * cx)), int(round(2 * cy))
+        # scale the articulated scene (authored for a 0.4 m volume whose
+        # content sits at z=0.45) into this ini's volume
+        z0 = float(p_ini.volume_pose[2, 3])
+        vol_c = np.asarray(
+            [0.0, 0.0, z0 + p_ini.volume_size[2] / 2.0]
+        )
+        scene_scale = p_ini.volume_size[0] / 0.4
+        scene_shift = vol_c - np.asarray([0.0, 0.0, 0.45]) * scene_scale
+        start_frame = int(getattr(p_ini, "start_frame", 0) or 0)
+        args.preset = "articulated"
 
     os.makedirs(os.path.join(args.out, "depth"), exist_ok=True)
     os.makedirs(os.path.join(args.out, "color"), exist_ok=True)
@@ -194,9 +225,24 @@ def main(argv=None):
         "frames": [],
     }
     for i in range(args.frames):
-        t = i / max(args.frames - 1, 1)
+        # ini mode: hold the scene static through the config's rigid-
+        # fusion warm-up frames (START_FRAME), then play the sequence
+        t = (
+            max(0, i - start_frame)
+            / max(args.frames - 1 - start_frame, 1)
+        )
         if articulated:
             prims = articulated_prims(t)
+            if args.ini:
+                prims = [
+                    (
+                        tuple(
+                            np.asarray(c) * scene_scale + scene_shift
+                        ),
+                        r * scene_scale,
+                    )
+                    for c, r in prims
+                ]
             d = render_prims_depth(H, W, fx, fy, cx, cy, prims)
         else:
             centre = (amp * np.sin(2 * np.pi * t), 0.0, 0.45)
@@ -229,6 +275,40 @@ def main(argv=None):
             json.dump(truth, f)
 
     ini = os.path.join(args.out, "params.ini")
+    if args.ini:
+        # the shipped scene config AS-IS, plus the TPU production
+        # execution keys (last key wins in the loader, matching the
+        # reference's own parser behaviour). The MODEL constants —
+        # grid, volume, trunc/eta, max_weight, alpha, w_reg, filter —
+        # all stay the scene's.
+        with open(args.ini) as f:
+            src = f.read()
+        with open(ini, "w") as f:
+            f.write(src.rstrip("\n") + "\n")
+            f.write(
+                "\n".join(
+                    [
+                        "",
+                        "# --- appended by make_synthetic_scene --ini:",
+                        "# TPU production execution of the same model",
+                        "# (accumulated articulated motion exceeds any",
+                        "# total-deformation window -> compositive)",
+                        "SOLVER_MODE=compositive",
+                        "WARP_WINDOW=2",
+                        "MOMENTUM=0.9",
+                        # umbrella/boxing ship MAX_UPDATE_NORM=1e-10 —
+                        # a cap-grinding stop; the stall net is the
+                        # production convergence criterion (data energy
+                        # flat; fidelity-gated)
+                        "MAX_UPDATE_NORM=4e-3",
+                        "STALL_WINDOW=16",
+                        "STALL_REL=1e-2",
+                        "",
+                    ]
+                )
+            )
+        print(f"wrote {args.frames} frames + {ini} (from {args.ini})")
+        return 0
     with open(ini, "w") as f:
         f.write(
             "\n".join(

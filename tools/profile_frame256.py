@@ -10,7 +10,9 @@ post separable-ingest + warp-fuse). This attributes the frame budget:
   E  warp-fuse alone            window_warp_fuse_pallas @ K=2
 
 Steady-state: 4 frames queued, one trailing sync, /4 — tunnel RTT
-excluded. Usage: python tools/profile_frame256.py [dim]
+excluded. Usage: python tools/profile_frame256.py [dim] [drift]
+(second arg "drift" switches to the compositive unbounded-drift bench
+config and a linearly-translating scene).
 """
 
 import os
@@ -40,6 +42,7 @@ def steady(label, fn, queue=4, reps=3):
 
 def main():
     dim = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    drift = len(sys.argv) > 2 and sys.argv[2] == "drift"
 
     import bench
     from sobfu_tpu import solver as solver_mod
@@ -77,6 +80,10 @@ def main():
     p.inverse_iters = 3
     p.inverse_warm = True
     p.conv_mxu = True
+    if drift:
+        p.solver_mode = "compositive"
+        p.inv_coarse = False
+        p.momentum = 0.9
 
     fusion = SobFusion(p)
     fusion.need_inv_warps = False
@@ -97,7 +104,9 @@ def main():
 
     step_m = 1.1 * vs
     frames = [
-        jnp.asarray(render((step_m * np.sin(i * np.pi / 4), 0.0, 0.45)))
+        jnp.asarray(render(
+            ((i * step_m) if drift
+             else step_m * np.sin(i * np.pi / 4), 0.0, 0.45)))
         for i in range(4)
     ]
     fusion(frames[0])
@@ -130,9 +139,9 @@ def main():
         inner_steps=fusion.solver.inner_steps,
         inv_coarse=fusion.solver.inv_coarse,
         fold_xmats=fusion.solver.fold_xmats,
-        solver_mode="additive",
+        solver_mode="compositive" if drift else "additive",
         axis_aligned=True,
-        skip_weight_warp=True,
+        skip_weight_warp=not drift,
     )
     args = (
         frames[2],
