@@ -147,6 +147,15 @@ class Params:
     # iterations at cap. 0 = off (reference stopping semantics).
     stall_window: int = 0
     stall_rel: float = 1e-3
+    # surface-confidence fusion gate (tsdf.fuse_volumes_gated; BEYOND-
+    # reference — the reference fuses everywhere): a voxel with NO
+    # canonical support (weight 0) may receive newly-seen live surface
+    # only where |psi - id|_inf <= this many voxels (static background
+    # reveal); elsewhere psi is regulariser-extrapolated and the new
+    # surface would land at the wrong canonical location (measured on the
+    # scene-config articulated separation: canonical RMSE 5.5 vox without
+    # the gate). 0 = off (reference fusion semantics — the default).
+    new_surface_gate: float = 0.0
     # Y-folded fused path (X=64 grids) only: run N gradient-descent
     # iterations per kernel launch with ALL loop state VMEM-resident
     # (solver.estimate_psi inner_steps). Convergence/stall stops are
@@ -273,6 +282,8 @@ def load_params(path: str, verbosity: int = 0) -> Params:
         p.stall_rel = float(vm["STALL_REL"])
     if "INNER_STEPS" in vm:
         p.inner_steps = int(vm["INNER_STEPS"])
+    if "NEW_SURFACE_GATE" in vm:
+        p.new_surface_gate = float(vm["NEW_SURFACE_GATE"])
     if "INV_MULTIGRID" in vm:
         p.inv_multigrid = vm["INV_MULTIGRID"].strip().lower() in (
             "1", "true", "yes",

@@ -54,6 +54,7 @@ from sobfu_tpu.tsdf import TsdfVolume
         "solver_mode",
         "axis_aligned",
         "skip_weight_warp",
+        "new_surface_gate",
     ),
 )
 def fused_frame_step(
@@ -99,6 +100,7 @@ def fused_frame_step(
     solver_mode="additive",
     axis_aligned=False,
     skip_weight_warp=False,
+    new_surface_gate=0.0,
 ):
     """One COMPLETE non-rigid frame under a single jit: preprocess ->
     integrate phi_n -> Sobolev solve -> fuse into phi_global.
@@ -195,6 +197,26 @@ def fused_frame_step(
             fold_xmats=fold_xmats,
         )
 
+    # surface-confidence gate on NEW canonical surface (tsdf.
+    # fuse_volumes_gated): voxels the canonical knows nothing about only
+    # accept newly-seen surface where psi is near-identity
+    if new_surface_gate > 0:
+        from sobfu_tpu import fields
+
+        disp_norm = jnp.max(
+            jnp.abs(res.psi - fields.identity_field(dims_zyx)), axis=0
+        )
+
+        def fuse(tg, wg, tnp, wnp, mw):
+            from sobfu_tpu.tsdf import fuse_volumes_gated
+
+            return fuse_volumes_gated(
+                tg, wg, tnp, wnp, mw, disp_norm,
+                jnp.float32(new_surface_gate),
+            )
+    else:
+        fuse = fuse_volumes
+
     # the chunked branch above has no skip_weight_warp plumbing: only the
     # pyramid / plain estimate_psi branches can have skipped the tail
     skipped = (
@@ -207,7 +229,7 @@ def fused_frame_step(
         # UNWARPED weight_n); the warp rides the fuse pass instead — on the
         # Pallas path a single pipeline kernel, on CPU the XLA window ops
         K = warp_window or 2
-        if fused_db:
+        if fused_db and new_surface_gate <= 0:
             from sobfu_tpu.ops.pallas_kernels import window_warp_fuse_pallas
 
             tg2, wg2 = window_warp_fuse_pallas(
@@ -218,7 +240,7 @@ def fused_frame_step(
             from sobfu_tpu import fields
 
             wnp = fields.sample_nearest_floor_window(wn, res.psi, max_disp=K)
-            tg2, wg2 = fuse_volumes(
+            tg2, wg2 = fuse(
                 tsdf_g, weight_g, res.tsdf_n_psi, wnp, max_weight
             )
             # the XLA fallback materialised wnp anyway — hand it back so
@@ -226,7 +248,7 @@ def fused_frame_step(
             # kernel leaves it stale; SobFusion._n_psi_weight_stale)
             res = res._replace(weight_n_psi=wnp)
     else:
-        tg2, wg2 = fuse_volumes(
+        tg2, wg2 = fuse(
             tsdf_g, weight_g, res.tsdf_n_psi, res.weight_n_psi, max_weight
         )
     return tg2, wg2, tn, wn, res
@@ -425,6 +447,9 @@ class SobFusion:
                 solver_mode=mode,
                 axis_aligned=axis_aligned,
                 skip_weight_warp=skip_weight_warp,
+                new_surface_gate=float(
+                    getattr(p, "new_surface_gate", 0.0) or 0.0
+                ),
             )
             self.phi_n.tsdf, self.phi_n.weight = tn, wn
             self.psi.data = res.psi
@@ -432,9 +457,12 @@ class SobFusion:
             self.phi_n_psi.tsdf = res.tsdf_n_psi
             self.phi_n_psi.weight = res.weight_n_psi
             # only the Pallas one-pass fuse leaves weight_n_psi unwarped
-            # (the XLA fallback hands the materialised warp back)
+            # (the XLA fallback hands the materialised warp back; the
+            # surface-confidence gate routes through the XLA fuse too)
             self._n_psi_weight_stale = bool(
-                skip_weight_warp and self.solver.fused_pallas
+                skip_weight_warp
+                and self.solver.fused_pallas
+                and not getattr(p, "new_surface_gate", 0.0)
             )
             if self.need_inv_warps:
                 self.phi_global_psi_inv.tsdf = res.tsdf_global_psi_inv
@@ -454,7 +482,28 @@ class SobFusion:
                 self.psi,
                 self.psi_inv,
             )
-            self.phi_global.integrate_volume(self.phi_n_psi)
+            gate = float(getattr(p, "new_surface_gate", 0.0) or 0.0)
+            if gate > 0:
+                from sobfu_tpu import fields
+                from sobfu_tpu.tsdf import fuse_volumes_gated
+
+                disp_norm = jnp.max(
+                    jnp.abs(
+                        self.psi.data
+                        - fields.identity_field(self.phi_global.dims_zyx)
+                    ),
+                    axis=0,
+                )
+                self.phi_global.tsdf, self.phi_global.weight = (
+                    fuse_volumes_gated(
+                        self.phi_global.tsdf, self.phi_global.weight,
+                        self.phi_n_psi.tsdf, self.phi_n_psi.weight,
+                        jnp.float32(self.phi_global.max_weight),
+                        disp_norm, jnp.float32(gate),
+                    )
+                )
+            else:
+                self.phi_global.integrate_volume(self.phi_n_psi)
 
         self.frame_counter += 1
         return True

@@ -194,6 +194,51 @@ def fuse_volumes(
     return jnp.where(skip, tsdf_g, t_new), jnp.where(skip, weight_g, w_new)
 
 
+@jax.jit
+def fuse_volumes_gated(
+    tsdf_g: jnp.ndarray,
+    weight_g: jnp.ndarray,
+    tsdf_n: jnp.ndarray,
+    weight_n: jnp.ndarray,
+    max_weight: jnp.ndarray,
+    disp_norm: jnp.ndarray,
+    gate_vox: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`fuse_volumes` with a surface-confidence gate on NEW canonical
+    surface (beyond-reference extension; the reference fuses everywhere,
+    tsdf_volume.cu:103-130).
+
+    Failure mode being gated (measured, BENCHLOG round-5 scene-config
+    validation): when scene parts separate, voxels the canonical knows
+    NOTHING about (weight 0) receive newly-seen live surface through a
+    deformation that is only REGULARISER-EXTRAPOLATED there — no data
+    term ever constrained psi at those voxels — so the new surface lands
+    at the wrong canonical location and the canonical model corrupts
+    cumulatively (5.5 vox RMSE by frame 59 on the snoopy-config
+    articulated scene, vs a 1.06 noise floor).
+
+    Gate: a voxel may CREATE canonical surface (weight_g == 0) only where
+    the deformation is near-identity (|psi - id|_inf <= gate_vox, i.e.
+    static background being revealed — exactly where extrapolation is
+    trustworthy). Voxels with existing canonical support (weight_g > 0)
+    fuse as before; psi is data-constrained there. Trade-off made
+    explicit: the back side of a MOVING object no longer completes into
+    the canonical while it moves (it re-enters once tracked data covers
+    it); in exchange, separation events no longer corrupt the model.
+
+    disp_norm: f32[Z,Y,X] per-voxel max-abs displacement of psi in voxel
+    units; gate_vox: scalar threshold (PARAMS key NEW_SURFACE_GATE; 0
+    disables via the caller using plain fuse_volumes).
+    """
+    skip = (weight_n == 0.0) | (
+        (weight_n == 1.0) & ((tsdf_n == 0.0) | (tsdf_n == -1.0))
+    )
+    skip = skip | ((weight_g == 0.0) & (disp_norm > gate_vox))
+    t_new = (weight_g * tsdf_g + tsdf_n) / (weight_g + 1.0)
+    w_new = jnp.minimum(weight_g + 1.0, max_weight)
+    return jnp.where(skip, tsdf_g, t_new), jnp.where(skip, weight_g, w_new)
+
+
 # ---------------------------------------------------------------------------
 # analytic SDF initialisers (test/demo fixtures, reference tsdf_volume.cu:181-334)
 # ---------------------------------------------------------------------------

@@ -198,6 +198,30 @@ def test_fusion_running_average_and_skips():
     np.testing.assert_allclose(w[1:], 2.0)
 
 
+def test_fusion_gated_new_surface():
+    """fuse_volumes_gated: NEW canonical surface (weight_g == 0) is
+    accepted only where |psi - id| <= gate; existing-support voxels fuse
+    regardless of displacement; everything else matches fuse_volumes."""
+    from sobfu_tpu.tsdf import fuse_volumes_gated
+
+    # 4 voxels: [new+near-id, new+far, supported+far, skip(wn=0)]
+    g_t = jnp.asarray([[[1.0, 1.0, 0.5, 0.5]]], jnp.float32)
+    g_w = jnp.asarray([[[0.0, 0.0, 2.0, 2.0]]], jnp.float32)
+    n_t = jnp.asarray([[[0.2, 0.2, 1.0, 1.0]]], jnp.float32)
+    n_w = jnp.asarray([[[2.0, 2.0, 2.0, 0.0]]], jnp.float32)
+    disp = jnp.asarray([[[0.3, 4.0, 4.0, 0.0]]], jnp.float32)
+    t, w = fuse_volumes_gated(
+        g_t, g_w, n_t, n_w, jnp.float32(64.0), disp, jnp.float32(1.5)
+    )
+    t, w = np.asarray(t)[0, 0], np.asarray(w)[0, 0]
+    np.testing.assert_allclose(t[0], 0.2, rtol=1e-6)  # created
+    assert w[0] == 1.0
+    assert t[1] == 1.0 and w[1] == 0.0  # gated: far psi, no support
+    np.testing.assert_allclose(t[2], (2 * 0.5 + 1.0) / 3.0, rtol=1e-6)
+    assert w[2] == 3.0  # supported: fuses despite far psi
+    assert t[3] == 0.5 and w[3] == 2.0  # wn=0 skip rule intact
+
+
 def test_fusion_weight_clamps_at_max():
     g_t = jnp.full((1, 1, 1), 0.0, jnp.float32)
     g_w = jnp.full((1, 1, 1), 64.0, jnp.float32)

@@ -303,6 +303,12 @@ def main(argv=None):
                         "MAX_UPDATE_NORM=4e-3",
                         "STALL_WINDOW=16",
                         "STALL_REL=1e-2",
+                        # separation scenes: gate NEW canonical surface on
+                        # near-identity psi (tsdf.fuse_volumes_gated) —
+                        # without it the post-separation frames corrupt
+                        # the canonical through extrapolated psi
+                        # (BENCHLOG round-5: 5.5 vox RMSE by frame 59)
+                        "NEW_SURFACE_GATE=1.5",
                         "",
                     ]
                 )
@@ -361,6 +367,10 @@ def main(argv=None):
                         "STALL_WINDOW=16", "STALL_REL=1e-2",
                         # noisy depth: keep a little more temporal fusion
                         "TSDF_MAX_WEIGHT=64",
+                        # gate NEW canonical surface on near-identity psi
+                        # (the satellite separation otherwise places
+                        # newly-seen surface through extrapolated psi)
+                        "NEW_SURFACE_GATE=1.5",
                     ]
                     if articulated
                     else []
